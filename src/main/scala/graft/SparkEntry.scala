@@ -1,13 +1,281 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Transcripts
+import graft.extract.Extract
+import graft.link.Resolve
+import graft.triples.Triples
+import graft.canonical.Canonical
+import graft.version.Versions
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * The KG pipeline's correctness gate: every `kg_*` query runs the *real*
+  * engine (text parsing, windowed alias resolution, joins) over a transcript
+  * table derived deterministically from the TPC-H parquet in `sfDir`; the
+  * DuckDB oracle reconstructs the expected output *structurally* from the
+  * base tables (it never parses text), so agreement validates the whole
+  * extraction/linking/canonicalization chain, not just a SQL translation.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: full pipeline (transcripts -> mentions -> resolve -> triples
+    * -> dense-ID edges) on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    qEdges(spark, "/root/testdata/sf0.001")
+
+  // ---- pipeline stages wired over the sfDir-derived transcripts ----
+
+  private def mentionsOf(s: SparkSession, dir: String): DataFrame =
+    Extract.mentions(Transcripts.fromTpch(s, dir))
+
+  private def long(c: String) = col(c).cast("long").as(c)
+
+  private def qTranscripts(s: SparkSession, dir: String): DataFrame =
+    Transcripts.fromTpch(s, dir).select(
+      col("conv_id"), long("turn_idx"), col("role"), col("text"), col("tool"),
+      date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))
+
+  private def qMentions(s: SparkSession, dir: String): DataFrame =
+    mentionsOf(s, dir).select(
+      col("conv_id"), long("turn_idx"), long("mention_idx"),
+      col("kind"), col("subj"), col("pred"), col("obj"), col("attr"))
+
+  private def qBindings(s: SparkSession, dir: String): DataFrame =
+    Resolve.bindings(mentionsOf(s, dir)).select(
+      col("conv_id"), long("turn_idx"), long("mention_idx"),
+      col("ref"), col("target"))
+
+  private def qResolved(s: SparkSession, dir: String): DataFrame =
+    Resolve.resolved(mentionsOf(s, dir)).select(
+      col("conv_id"), long("turn_idx"), long("mention_idx"),
+      col("subj"), col("pred"), col("obj"))
+
+  private def qTriples(s: SparkSession, dir: String): DataFrame = {
+    val m = mentionsOf(s, dir)
+    Triples.knownOnly(Resolve.resolved(m), Triples.entityNames(m)).select(
+      col("conv_id"), long("turn_idx"), long("mention_idx"),
+      col("subj"), col("pred"), col("obj"))
+  }
+
+  private def qNodes(s: SparkSession, dir: String): DataFrame =
+    Canonical.nodes(Triples.entityNames(mentionsOf(s, dir)))
+
+  private def qNodesMinted(s: SparkSession, dir: String): DataFrame = {
+    val m = mentionsOf(s, dir)
+    val ents = Triples.entityNames(m)
+    Canonical.mintedNodes(
+      Canonical.nodes(ents),
+      Triples.mintedNames(Resolve.resolved(m), ents))
+  }
+
+  private def qEdges(s: SparkSession, dir: String): DataFrame = {
+    val m = mentionsOf(s, dir)
+    val ents = Triples.entityNames(m)
+    val triples = Triples.knownOnly(Resolve.resolved(m), ents)
+    Canonical.edges(triples, Canonical.nodes(ents)).select(
+      col("edge_type"), col("src_type"), col("src_id"),
+      col("dst_type"), col("dst_id"),
+      col("conv_id"), long("turn_idx"), long("mention_idx"))
+  }
+
+  private def qAliasGroups(s: SparkSession, dir: String): DataFrame =
+    Canonical.aliasGroups(mentionsOf(s, dir))
+
+  private def qTurnEdges(s: SparkSession, dir: String): DataFrame =
+    Extract.turnOrderEdges(Transcripts.fromTpch(s, dir)).select(
+      col("conv_id"), long("turn_idx"), long("next_turn_idx"))
+
+  private def qVersionNodes(s: SparkSession, dir: String): DataFrame =
+    Versions.versionNodes(mentionsOf(s, dir)).select(
+      col("entity"), col("version_seq"), col("ts_s"), col("body_hash"),
+      col("state"), col("conv_id"), long("turn_idx"))
+
+  private def qVersionEdges(s: SparkSession, dir: String): DataFrame =
+    Versions.versionEdges(Versions.versionNodes(mentionsOf(s, dir))).select(
+      col("entity"), col("src_seq"), col("dst_seq"),
+      col("conv_id"), long("turn_idx"), col("body_hash"))
+
+  private def qVersionLatest(s: SparkSession, dir: String): DataFrame =
+    Versions.latestVersions(Versions.versionNodes(mentionsOf(s, dir)))
+
+  /** One per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kg_transcripts" -> (qTranscripts _),
+    "kg_mentions" -> (qMentions _),
+    "kg_bindings" -> (qBindings _),
+    "kg_resolved" -> (qResolved _),
+    "kg_triples" -> (qTriples _),
+    "kg_nodes" -> (qNodes _),
+    "kg_nodes_minted" -> (qNodesMinted _),
+    "kg_edges" -> (qEdges _),
+    "kg_alias_groups" -> (qAliasGroups _),
+    "kg_turn_edges" -> (qTurnEdges _),
+    "kg_version_nodes" -> (qVersionNodes _),
+    "kg_version_edges" -> (qVersionEdges _),
+    "kg_version_latest" -> (qVersionLatest _),
+  )
+
+  // ---- DuckDB oracle (structural reconstruction; never parses text) ----
+
+  /** Shared CTE block: lineitem enriched with grammar names, orders with
+    * customer principal. */
+  private val baseCtes =
+    s"""li AS (
+      |  SELECT 'c'||l_orderkey AS conv_id, ${Transcripts.lineSeqSql} AS k,
+      |         'part:'||replace(p_name,' ','_') AS pname,
+      |         'supplier:'||s_name AS sname,
+      |         CAST(CAST(ROUND(l_quantity*100) AS BIGINT) AS VARCHAR) AS qty,
+      |         l_partkey AS pk, l_shipdate
+      |  FROM lineitem
+      |  JOIN part ON l_partkey = p_partkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |),
+      |oc AS (
+      |  SELECT 'c'||o_orderkey AS conv_id,
+      |         'customer:'||replace(c_name,' ','_') AS cust
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |),
+      |lic AS (SELECT li.*, oc.cust FROM li JOIN oc ON li.conv_id = oc.conv_id),
+      |names AS (
+      |  SELECT cust AS canonical_name FROM oc
+      |  UNION SELECT pname FROM li
+      |  UNION SELECT sname FROM li
+      |),
+      |nodes AS (
+      |  SELECT split_part(canonical_name, ':', 1) AS node_type,
+      |         CAST(row_number() OVER (ORDER BY canonical_name) - 1 AS BIGINT) AS node_id,
+      |         canonical_name
+      |  FROM names
+      |),
+      |triples AS (
+      |  SELECT conv_id, CAST(2*k AS BIGINT) AS turn_idx, CAST(0 AS BIGINT) AS mention_idx,
+      |         sname AS subj, 'supplies' AS pred, pname AS obj FROM lic
+      |  UNION ALL
+      |  SELECT conv_id, CAST(2*k AS BIGINT), CAST(1 AS BIGINT),
+      |         cust, 'ordered', pname FROM lic
+      |  UNION ALL
+      |  SELECT conv_id, CAST(2*k AS BIGINT), CAST(2 AS BIGINT),
+      |         pname, 'returned_to', sname FROM lic WHERE k % 3 = 0
+      |)""".stripMargin
+
+  private def withBase(body: String) = s"WITH $baseCtes\n$body"
+
+  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
+    * same parquet tables. */
+  def oracleSql: Map[String, String] = Map(
+    "kg_transcripts" -> Transcripts.fromTpchOracleSql,
+
+    "kg_mentions" -> withBase(
+      """SELECT 'c'||o_orderkey AS conv_id, CAST(0 AS BIGINT) AS turn_idx,
+        |       CAST(1 AS BIGINT) AS mention_idx, 'entity_def' AS kind,
+        |       'customer:'||replace(c_name,' ','_') AS subj, '' AS pred, '' AS obj, '' AS attr
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |UNION ALL SELECT conv_id, CAST(2*k-1 AS BIGINT), CAST(0 AS BIGINT), 'entity_def', pname, '', '', qty FROM li
+        |UNION ALL SELECT conv_id, CAST(2*k-1 AS BIGINT), CAST(1 AS BIGINT), 'entity_def', sname, '', '', '' FROM li
+        |UNION ALL SELECT conv_id, CAST(2*k-1 AS BIGINT), CAST(2 AS BIGINT), 'alias_binding', 'a'||k, '', pname, '' FROM li
+        |UNION ALL SELECT conv_id, CAST(2*k AS BIGINT), CAST(0 AS BIGINT), 'relation', sname, 'supplies', 'a'||k, '' FROM li
+        |UNION ALL SELECT conv_id, CAST(2*k AS BIGINT), CAST(1 AS BIGINT), 'relation', 'self', 'ordered', 'a'||k, '' FROM li
+        |UNION ALL SELECT conv_id, CAST(2*k AS BIGINT), CAST(2 AS BIGINT), 'relation', 'a'||k, 'returned_to', sname, '' FROM li WHERE k % 3 = 0
+        |UNION ALL SELECT conv_id, CAST(2*k AS BIGINT), CAST(2 + CASE WHEN k % 3 = 0 THEN 1 ELSE 0 END AS BIGINT), 'relation', 'self', 'mentions', 'item:unknown_'||pk, '' FROM li WHERE k % 4 = 0
+        |""".stripMargin),
+
+    "kg_bindings" -> withBase(
+      """SELECT conv_id, CAST(2*k-1 AS BIGINT) AS turn_idx,
+        |       CAST(2 AS BIGINT) AS mention_idx, 'a'||k AS ref, pname AS target
+        |FROM li""".stripMargin),
+
+    "kg_resolved" -> withBase(
+      """SELECT conv_id, turn_idx, mention_idx, subj, pred, obj FROM triples
+        |UNION ALL
+        |SELECT conv_id, CAST(2*k AS BIGINT), CAST(2 + CASE WHEN k % 3 = 0 THEN 1 ELSE 0 END AS BIGINT),
+        |       cust, 'mentions', 'item:unknown_'||pk
+        |FROM lic WHERE k % 4 = 0""".stripMargin),
+
+    "kg_triples" -> withBase(
+      "SELECT conv_id, turn_idx, mention_idx, subj, pred, obj FROM triples"),
+
+    "kg_nodes" -> withBase(
+      "SELECT node_type, node_id, canonical_name FROM nodes"),
+
+    "kg_nodes_minted" -> withBase(
+      """SELECT 'item' AS node_type,
+        |       CAST((SELECT count(*) FROM names) + row_number() OVER (ORDER BY canonical_name) - 1 AS BIGINT) AS node_id,
+        |       canonical_name
+        |FROM (SELECT DISTINCT 'item:unknown_'||pk AS canonical_name FROM li WHERE k % 4 = 0)""".stripMargin),
+
+    "kg_edges" -> withBase(
+      """SELECT t.pred AS edge_type,
+        |       ns.node_type AS src_type, ns.node_id AS src_id,
+        |       nd.node_type AS dst_type, nd.node_id AS dst_id,
+        |       t.conv_id, t.turn_idx, t.mention_idx
+        |FROM triples t
+        |JOIN nodes ns ON t.subj = ns.canonical_name
+        |JOIN nodes nd ON t.obj = nd.canonical_name""".stripMargin),
+
+    "kg_alias_groups" -> withBase(
+      """SELECT canonical_name,
+        |       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+        |       min(conv_id) AS first_conv, max(conv_id) AS last_conv
+        |FROM (
+        |  SELECT cust AS canonical_name, conv_id FROM oc
+        |  UNION ALL SELECT pname, conv_id FROM li
+        |  UNION ALL SELECT sname, conv_id FROM li
+        |)
+        |GROUP BY canonical_name""".stripMargin),
+
+    "kg_turn_edges" -> withBase(
+      """SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+        |       CAST(next_turn_idx AS BIGINT) AS next_turn_idx
+        |FROM (
+        |  SELECT conv_id, turn_idx,
+        |         lead(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS next_turn_idx
+        |  FROM (
+        |    SELECT conv_id, 0 AS turn_idx FROM oc
+        |    UNION ALL SELECT conv_id, 2*k-1 FROM li
+        |    UNION ALL SELECT conv_id, 2*k FROM li
+        |  )
+        |)
+        |WHERE next_turn_idx IS NOT NULL""".stripMargin),
+
+    "kg_version_nodes" -> withBase(
+      """SELECT entity, version_seq, ts_s, body_hash, state, conv_id, turn_idx FROM (
+        |  SELECT entity,
+        |         CAST(row_number() OVER (PARTITION BY entity ORDER BY ts, conv_id, turn_idx) AS BIGINT) AS version_seq,
+        |         strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+        |         md5(state) AS body_hash, state, conv_id, CAST(turn_idx AS BIGINT) AS turn_idx
+        |  FROM (
+        |    SELECT *, lag(state) OVER (PARTITION BY entity ORDER BY ts, conv_id, turn_idx) AS prev
+        |    FROM (SELECT pname AS entity, qty AS state, l_shipdate AS ts, conv_id, 2*k-1 AS turn_idx FROM li)
+        |  ) WHERE prev IS NULL OR prev <> state
+        |)""".stripMargin),
+
+    "kg_version_edges" -> withBase(
+      """SELECT entity, version_seq - 1 AS src_seq, version_seq AS dst_seq,
+        |       conv_id, turn_idx, body_hash FROM (
+        |  SELECT entity,
+        |         CAST(row_number() OVER (PARTITION BY entity ORDER BY ts, conv_id, turn_idx) AS BIGINT) AS version_seq,
+        |         md5(state) AS body_hash, conv_id, CAST(turn_idx AS BIGINT) AS turn_idx
+        |  FROM (
+        |    SELECT *, lag(state) OVER (PARTITION BY entity ORDER BY ts, conv_id, turn_idx) AS prev
+        |    FROM (SELECT pname AS entity, qty AS state, l_shipdate AS ts, conv_id, 2*k-1 AS turn_idx FROM li)
+        |  ) WHERE prev IS NULL OR prev <> state
+        |) WHERE version_seq > 1""".stripMargin),
+
+    "kg_version_latest" -> withBase(
+      """SELECT entity, max(version_seq) AS version_seq,
+        |       max_by(state, version_seq) AS state,
+        |       max_by(body_hash, version_seq) AS body_hash FROM (
+        |  SELECT entity,
+        |         CAST(row_number() OVER (PARTITION BY entity ORDER BY ts, conv_id, turn_idx) AS BIGINT) AS version_seq,
+        |         md5(state) AS body_hash, state
+        |  FROM (
+        |    SELECT *, lag(state) OVER (PARTITION BY entity ORDER BY ts, conv_id, turn_idx) AS prev
+        |    FROM (SELECT pname AS entity, qty AS state, l_shipdate AS ts, conv_id, 2*k-1 AS turn_idx FROM li)
+        |  ) WHERE prev IS NULL OR prev <> state
+        |)
+        |GROUP BY entity""".stripMargin),
+  )
 }

@@ -1,0 +1,109 @@
+package graft.canonical
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Canonicalization: deterministic dense node IDs + FK remap.
+  *
+  * Reference analog: the dense ID re-sequencing step
+  * (package/hierarchical_graph.py:301-353): reset_index -> new IDs, then
+  * remap edge endpoints by join. The reference's IDs come from walk-order
+  * counters (order-dependent, single-threaded); ours are a pure function of
+  * the data key, so they are identical at any parallelism (the N-vs-4N
+  * determinism requirement).
+  */
+object Canonical {
+
+  /** Dense 0..n-1 IDs ordered by the key column. Uses one global window —
+    * correct and simple because the input is the *distinct entity
+    * vocabulary*, not the mention stream; for vocabularies too large for a
+    * single partition, use [[denseIdsBucketed]]. */
+  def denseIds(names: DataFrame, keyCol: String = "canonical_name",
+      idCol: String = "node_id"): DataFrame =
+    names.withColumn(idCol,
+      (row_number().over(Window.orderBy(col(keyCol))) - 1).cast("long"))
+
+  /** Scalable dense-ID assignment: two-phase with no global sort.
+    * Phase 1: deterministic bucket = xxhash64(key) mod B; per-bucket counts
+    * -> prefix offsets (B rows, collected + broadcast). Phase 2:
+    * row_number within bucket (ordered by key) + bucket offset.
+    * IDs are dense, unique, and a pure function of the key set — stable
+    * across cluster sizes — at the cost of not being globally
+    * key-ordered (the reference's IDs were walk-ordered, so no contract is
+    * lost). */
+  def denseIdsBucketed(names: DataFrame, keyCol: String = "canonical_name",
+      idCol: String = "node_id", buckets: Int = 256): DataFrame = {
+    val spark = names.sparkSession
+    val withB = names.withColumn("_b",
+      pmod(xxhash64(col(keyCol)), lit(buckets.toLong)))
+    val counts = withB.groupBy("_b").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.scanLeft(0L)(_ + _._2).zip(counts.map(_._1))
+      .map { case (off, b) => b -> off }.toMap
+    val offsetsDf = spark.createDataFrame(
+      offsets.toSeq.map { case (b, off) => (b, off) }).toDF("_b", "_off")
+    val w = Window.partitionBy("_b").orderBy(keyCol)
+    withB
+      .join(broadcast(offsetsDf), Seq("_b"))
+      .withColumn(idCol, (row_number().over(w) - 1 + col("_off")).cast("long"))
+      .drop("_b", "_off")
+  }
+
+  /** Node table from canonical names: (node_type, node_id, canonical_name).
+    * node_type is the name's namespace prefix (the Neo4j label analog,
+    * package/knowledge_graph.py:561-570). */
+  def nodes(entityNames: DataFrame): DataFrame =
+    denseIds(entityNames)
+      .select(
+        split_part(col("canonical_name"), lit(":"), lit(1)).as("node_type"),
+        col("node_id"),
+        col("canonical_name"))
+
+  /** Minted node rows appended after the known vocabulary, IDs continuing
+    * densely (reference package/call_graph.py:283-315: fresh sequential IDs
+    * offset by the existing max). */
+  def mintedNodes(knownNodes: DataFrame, mintedNames: DataFrame): DataFrame = {
+    val offset = knownNodes.agg(
+      coalesce(max(col("node_id")) + 1, lit(0L)).as("_off"))
+    denseIds(mintedNames)
+      .crossJoin(broadcast(offset))
+      .select(
+        split_part(col("canonical_name"), lit(":"), lit(1)).as("node_type"),
+        (col("node_id") + col("_off")).as("node_id"),
+        col("canonical_name"))
+  }
+
+  /** FK remap: triples (subj, pred, obj, ...) -> edge rows with dense IDs,
+    * via two broadcast joins against the node table
+    * (package/hierarchical_graph.py:334-339). */
+  def edges(triples: DataFrame, nodes: DataFrame): DataFrame = {
+    val src = broadcast(nodes.select(
+      col("canonical_name").as("subj"),
+      col("node_type").as("src_type"), col("node_id").as("src_id")))
+    val dst = broadcast(nodes.select(
+      col("canonical_name").as("obj"),
+      col("node_type").as("dst_type"), col("node_id").as("dst_id")))
+    triples
+      .join(src, Seq("subj"))
+      .join(dst, Seq("obj"))
+      .select(
+        col("pred").as("edge_type"),
+        col("src_type"), col("src_id"),
+        col("dst_type"), col("dst_id"),
+        col("conv_id"), col("turn_idx"), col("mention_idx"))
+  }
+
+  /** Cross-conversation surface-form grouping (reference import grouping,
+    * package/knowledge_graph.py:926-949 / A1): identical canonical names
+    * across conversations collapse to one row carrying the set of
+    * conversations that defined them. */
+  def aliasGroups(mentions: DataFrame): DataFrame =
+    mentions
+      .filter(col("kind") === "entity_def")
+      .groupBy(col("subj").as("canonical_name"))
+      .agg(
+        countDistinct(col("conv_id")).cast("long").as("n_convs"),
+        min(col("conv_id")).as("first_conv"),
+        max(col("conv_id")).as("last_conv"))
+}

@@ -1,0 +1,80 @@
+package graft.extract
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Mention extraction: turn text -> typed mention rows.
+  *
+  * Reference analog: the recursive AST walk emitting 4 mention kinds
+  * (package/call_graph.py:388-435, package/ast_processor.py:85-122). The
+  * reference appends one-row pandas frames inside a Python walk (O(n^2));
+  * here the whole frontend is `posexplode(split(...))` + regex column
+  * expressions — fully codegen'd, no UDF, no per-row driver work, and the
+  * scan only needs (conv_id, turn_idx, text, ts) thanks to column pruning.
+  *
+  * One turn -> N mention rows (the Generator/UDTF shape) via posexplode;
+  * `mention_idx` is the segment position inside the turn, making
+  * (conv_id, turn_idx, mention_idx) a stable natural key (replaces the
+  * reference's global walk-order counters, call_graph.py:44-48).
+  */
+object Extract {
+
+  /** Single source of truth for the transcript grammar (shared with the
+    * test oracle). */
+  object Grammar {
+    val name = "[A-Za-z]+:[A-Za-z0-9_#]+"
+    val ref = s"(?:self|a[0-9]+|$name)"
+    val defRe = s"^define entity ($name)(?: with qty=([0-9]+))?$$"
+    val aliasRe = s"^alias (a[0-9]+) => ($name)$$"
+    val linkRe = s"^link ($ref) -\\[([a-z_]+)\\]-> ($ref)$$"
+    val segmentSep = " ; "
+  }
+
+  /** Extract all mentions. Output: conv_id, turn_idx, mention_idx, kind,
+    * subj, pred, obj, attr, ts (absent fields are "", never null). */
+  def mentions(transcripts: DataFrame): DataFrame = {
+    import Grammar._
+    val segs = transcripts.select(
+      col("conv_id"), col("turn_idx"), col("ts"),
+      posexplode(split(col("text"), segmentSep)).as(Seq("mention_idx", "seg")))
+
+    val isDef = col("seg").rlike(defRe)
+    val isAlias = col("seg").rlike(aliasRe)
+    val isLink = col("seg").rlike(linkRe)
+
+    segs
+      .withColumn("kind",
+        when(isDef, "entity_def")
+          .when(isAlias, "alias_binding")
+          .when(isLink, "relation"))
+      .filter(col("kind").isNotNull)
+      .select(
+        col("conv_id"),
+        col("turn_idx"),
+        col("mention_idx"),
+        col("kind"),
+        when(isDef, regexp_extract(col("seg"), defRe, 1))
+          .when(isAlias, regexp_extract(col("seg"), aliasRe, 1))
+          .otherwise(regexp_extract(col("seg"), linkRe, 1)).as("subj"),
+        when(isLink, regexp_extract(col("seg"), linkRe, 2))
+          .otherwise(lit("")).as("pred"),
+        when(isAlias, regexp_extract(col("seg"), aliasRe, 2))
+          .when(isLink, regexp_extract(col("seg"), linkRe, 3))
+          .otherwise(lit("")).as("obj"),
+        when(isDef, regexp_extract(col("seg"), defRe, 2))
+          .otherwise(lit("")).as("attr"),
+        col("ts"))
+  }
+
+  /** Turn-order edges within each conversation: (turn_idx -> next turn).
+    * Reference analog: consecutive-leaf `shift(-1)` edges
+    * (package/function_graph.py:61-68) — same `lead` primitive. */
+  def turnOrderEdges(transcripts: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    transcripts
+      .select(col("conv_id"), col("turn_idx"))
+      .withColumn("next_turn_idx", lead("turn_idx", 1).over(w))
+      .filter(col("next_turn_idx").isNotNull)
+  }
+}

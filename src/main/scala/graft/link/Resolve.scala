@@ -1,0 +1,102 @@
+package graft.link
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Entity linking: resolve relation-mention refs to canonical names.
+  *
+  * Reference analog: the caller-object resolution precedence chain
+  * (package/call_graph.py:703-749): self -> super -> local var -> param ->
+  * import alias -> identity. The transcript grammar collapses the three
+  * scoped-binding levels (local/param/import) into one conversation-scoped
+  * alias map with *latest-binding-wins* shadowing (the reference's scoped
+  * lookup semantics, package/adapters/CppAstAdapter.py:510-518), giving the
+  * equally-total deterministic chain:
+  *
+  *   1. `self`  -> the conversation's principal entity (first entity_def,
+  *                 analog of `self` -> enclosing class, call_graph.py:738)
+  *   2. `a<k>`  -> most recent alias binding at or before the use site
+  *   3. else    -> identity (call_graph.py:748)
+  *
+  * Distribution: the reference resolves row-by-row against Python dicts.
+  * Here the as-of alias lookup is a *window*, not a join against collected
+  * state: binding events and use events for the same (conv_id, alias) are
+  * unioned, ordered by (turn_idx, mention_idx), and
+  * `last(target, ignoreNulls)` over an unbounded-preceding frame yields the
+  * latest binding in scope. Everything shuffles on conversation-local keys
+  * (conv_id[, ref]) — uniform, no skew, no driver-side state, and identical
+  * results at any parallelism.
+  */
+object Resolve {
+
+  private val aliasPat = "^a[0-9]+$"
+
+  /** Alias-binding events: (conv_id, ref, turn_idx, mention_idx, target). */
+  def bindings(mentions: DataFrame): DataFrame =
+    mentions
+      .filter(col("kind") === "alias_binding")
+      .select(
+        col("conv_id"), col("turn_idx"), col("mention_idx"),
+        col("subj").as("ref"), col("obj").as("target"))
+
+  /** Conversation principal: first entity_def by (turn_idx, mention_idx). */
+  def selfNames(mentions: DataFrame): DataFrame =
+    mentions
+      .filter(col("kind") === "entity_def")
+      .groupBy(col("conv_id"))
+      .agg(min_by(col("subj"), struct(col("turn_idx"), col("mention_idx")))
+        .as("self_name"))
+
+  /** Resolve subj/obj of every relation mention. Output:
+    * conv_id, turn_idx, mention_idx, subj, pred, obj, ts (resolved). */
+  def resolved(mentions: DataFrame): DataFrame = {
+    val rels = mentions.filter(col("kind") === "relation")
+
+    // As-of alias resolution for both sides in one pass.
+    val uses = rels
+      .select(col("conv_id"), col("turn_idx"), col("mention_idx"),
+        lit("s").as("side"), col("subj").as("ref"))
+      .unionByName(rels.select(col("conv_id"), col("turn_idx"),
+        col("mention_idx"), lit("o").as("side"), col("obj").as("ref")))
+      .filter(col("ref").rlike(aliasPat))
+
+    val events = bindings(mentions)
+      .select(col("conv_id"), col("ref"), col("turn_idx"), col("mention_idx"),
+        lit(null).cast("string").as("side"), col("target"))
+      .unionByName(uses.select(col("conv_id"), col("ref"), col("turn_idx"),
+        col("mention_idx"), col("side"), lit(null).cast("string").as("target")))
+
+    val w = Window
+      .partitionBy("conv_id", "ref")
+      .orderBy("turn_idx", "mention_idx")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val aliasResolved = events
+      .withColumn("in_scope", last("target", ignoreNulls = true).over(w))
+      .filter(col("side").isNotNull) // keep use events only
+      .select(col("conv_id"), col("turn_idx"), col("mention_idx"), col("side"),
+        coalesce(col("in_scope"), col("ref")).as("alias_resolved"))
+
+    val subjA = aliasResolved.filter(col("side") === "s")
+      .withColumnRenamed("alias_resolved", "subj_alias").drop("side")
+    val objA = aliasResolved.filter(col("side") === "o")
+      .withColumnRenamed("alias_resolved", "obj_alias").drop("side")
+
+    def chain(ref: Column, aliasRes: Column): Column =
+      when(ref === "self", coalesce(col("self_name"), ref))
+        .when(ref.rlike(aliasPat), coalesce(aliasRes, ref))
+        .otherwise(ref)
+
+    rels
+      .join(selfNames(mentions), Seq("conv_id"), "left")
+      .join(subjA, Seq("conv_id", "turn_idx", "mention_idx"), "left")
+      .join(objA, Seq("conv_id", "turn_idx", "mention_idx"), "left")
+      .select(
+        col("conv_id"), col("turn_idx"), col("mention_idx"),
+        chain(col("subj"), col("subj_alias")).as("subj"),
+        col("pred"),
+        chain(col("obj"), col("obj_alias")).as("obj"),
+        col("ts"))
+  }
+}

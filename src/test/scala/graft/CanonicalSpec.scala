@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.canonical.Canonical
+
+class CanonicalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("denseIds: dense 0..n-1, ordered by key") {
+    val names = Seq("b", "a", "c").toDF("canonical_name")
+    val ids = Canonical.denseIds(names).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ids === Map("a" -> 0L, "b" -> 1L, "c" -> 2L))
+  }
+
+  test("denseIdsBucketed: bijection onto 0..n-1, stable across parallelism") {
+    val names = (0 until 500).map(i => s"name_$i").toDF("canonical_name")
+    def run(parts: Int) = Canonical
+      .denseIdsBucketed(names.repartition(parts), buckets = 16)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val a = run(1)
+    val b = run(8)
+    assert(a === b, "IDs must be a pure function of the key set")
+    assert(a.values.toSeq.sorted === (0L until 500L))
+  }
+
+  test("mintedNodes continue densely after known nodes") {
+    val known = Canonical.nodes(Seq("t:a", "t:b").toDF("canonical_name"))
+    val minted = Canonical.mintedNodes(known, Seq("x:new2", "x:new1").toDF("canonical_name"))
+    val rows = minted.collect().map(r => (r.getString(2), r.getLong(1))).toMap
+    assert(rows === Map("x:new1" -> 2L, "x:new2" -> 3L))
+    assert(minted.select("node_type").distinct().as[String].collect().toSet === Set("x"))
+  }
+
+  test("edges remap endpoints through the node table") {
+    val nodes = Canonical.nodes(Seq("t:a", "t:b").toDF("canonical_name"))
+    val triples = Seq(("t:a", "uses", "t:b", "c1", 1, 0))
+      .toDF("subj", "pred", "obj", "conv_id", "turn_idx", "mention_idx")
+    val e = Canonical.edges(triples, nodes).collect()
+    assert(e.length === 1)
+    val r = e.head
+    assert((r.getAs[String]("edge_type"), r.getAs[Long]("src_id"), r.getAs[Long]("dst_id")) === ("uses", 0L, 1L))
+  }
+}

@@ -1,0 +1,48 @@
+package graft.oracle
+
+import scala.collection.mutable
+
+/** Single-threaded reimplementation of the extraction semantics, written in
+  * the *reference's* style: walk each conversation's turns in order,
+  * threading mutable alias/def state (package/call_graph.py:388-435,
+  * 703-749), then form triples by an entity-membership check
+  * (call_graph.py:276-315). Shares no code with the engine — this is the
+  * independent semantic oracle for the P/R >= 0.95 parity metric
+  * (BASELINE.json north rule, SURVEY.md §5).
+  */
+object RefOracle {
+  case class T(convId: String, turnIdx: Int, text: String)
+
+  private val DefRe = """^define entity ([A-Za-z]+:[A-Za-z0-9_#]+)(?: with qty=([0-9]+))?$""".r
+  private val AliasRe = """^alias (a[0-9]+) => ([A-Za-z]+:[A-Za-z0-9_#]+)$""".r
+  private val LinkRe = """^link (self|a[0-9]+|[A-Za-z]+:[A-Za-z0-9_#]+) -\[([a-z_]+)\]-> (self|a[0-9]+|[A-Za-z]+:[A-Za-z0-9_#]+)$""".r
+
+  /** Emit the (subj, pred, obj) triple set with knownEntitiesOnly semantics. */
+  def triples(corpus: Seq[T]): Set[(String, String, String)] = {
+    val defined = mutable.Set[String]()
+    val raw = mutable.ListBuffer[(String, String, String)]()
+    corpus.groupBy(_.convId).foreach { case (_, ts) =>
+      val ordered = ts.sortBy(_.turnIdx)
+      // `self` is the conversation principal: the first entity_def in stable
+      // turn order (analog of self -> enclosing class, call_graph.py:738).
+      val self: Option[String] = ordered.iterator
+        .flatMap(_.text.split(" ; ", -1))
+        .collectFirst { case DefRe(name, _) => name }
+      val aliases = mutable.Map[String, String]()
+      ordered.foreach { t =>
+        t.text.split(" ; ", -1).foreach {
+          case DefRe(name, _) => defined += name
+          case AliasRe(a, target) => aliases(a) = target
+          case LinkRe(s, p, o) =>
+            def res(r: String): String =
+              if (r == "self") self.getOrElse(r)
+              else if (r.matches("^a[0-9]+$")) aliases.getOrElse(r, r)
+              else r
+            raw += ((res(s), p, res(o)))
+          case _ => () // narration
+        }
+      }
+    }
+    raw.filter(t => defined.contains(t._3)).toSet
+  }
+}
