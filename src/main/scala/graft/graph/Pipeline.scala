@@ -1,0 +1,94 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.sources.Transcripts
+import graft.extract.Extract
+import graft.link.Resolve
+import graft.triples.Triples
+import graft.canonical.Canonical
+import graft.version.Versions
+
+/** The staged KG-construction dataflow. Every stage reads the *committed
+  * table* of its upstream stage (not its plan), so:
+  *   - each stage computes exactly once per input corpus (no re-derivation
+  *     across the many consumers of `mentions`/`resolved`);
+  *   - a killed run resumes at the first uncommitted stage;
+  *   - per-stage lineage/metrics land next to the tables (StageStore).
+  *
+  * Stage DAG (reference lifecycle, SURVEY.md §3.1):
+  *   transcripts -> mentions -> resolved -> triples -> edges
+  *                     |            \-> (minted) nodes
+  *                     \-> version_nodes -> version_edges
+  */
+object Pipeline {
+
+  def transcripts(spark: SparkSession, sfDir: String): DataFrame =
+    Transcripts.fromTpch(spark, sfDir) // cheap, derived; not checkpointed
+
+  def mentions(spark: SparkSession, sfDir: String): DataFrame =
+    StageStore.getOrCreate(spark, sfDir, "mentions") {
+      Extract.mentions(transcripts(spark, sfDir))
+    }
+
+  def resolved(spark: SparkSession, sfDir: String): DataFrame =
+    StageStore.getOrCreate(spark, sfDir, "resolved") {
+      Resolve.resolved(mentions(spark, sfDir))
+    }
+
+  def entityNames(spark: SparkSession, sfDir: String): DataFrame =
+    Triples.entityNames(mentions(spark, sfDir))
+
+  def nodes(spark: SparkSession, sfDir: String): DataFrame =
+    StageStore.getOrCreate(spark, sfDir, "nodes") {
+      Canonical.nodes(entityNames(spark, sfDir))
+    }
+
+  def triples(spark: SparkSession, sfDir: String): DataFrame =
+    StageStore.getOrCreate(spark, sfDir, "triples") {
+      Triples.knownOnly(resolved(spark, sfDir), entityNames(spark, sfDir))
+    }
+
+  def edges(spark: SparkSession, sfDir: String): DataFrame =
+    StageStore.getOrCreate(spark, sfDir, "edges") {
+      Canonical.edges(triples(spark, sfDir), nodes(spark, sfDir))
+    }
+
+  def versionNodes(spark: SparkSession, sfDir: String): DataFrame =
+    StageStore.getOrCreate(spark, sfDir, "version_nodes") {
+      Versions.versionNodes(mentions(spark, sfDir))
+    }
+
+  def versionEdges(spark: SparkSession, sfDir: String): DataFrame =
+    StageStore.getOrCreate(spark, sfDir, "version_edges") {
+      Versions.versionEdges(versionNodes(spark, sfDir))
+    }
+
+  /** Run every stage to completion (idempotent / resumable). Returns the
+    * number of emitted graph edges. */
+  def runAll(spark: SparkSession, sfDir: String): Long = {
+    nodes(spark, sfDir)
+    val e = edges(spark, sfDir).count()
+    versionEdges(spark, sfDir)
+    e
+  }
+
+  /** spark-submit entry point: `graft.graph.Pipeline <sfDir>`. */
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val t0 = System.nanoTime()
+    val nEdges = runAll(spark, sfDir)
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(s"""{"pipeline":"kg","sfDir":"$sfDir","edges":$nEdges,"sec":$sec,"triples_per_sec":${nEdges / sec}}""")
+    StageStore.metrics(spark, sfDir).show(100, truncate = false)
+    spark.stop()
+  }
+}
