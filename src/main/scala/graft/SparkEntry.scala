@@ -7,7 +7,7 @@ import graft.sources.Transcripts
 import graft.extract.Extract
 import graft.link.Resolve
 import graft.triples.Triples
-import graft.canonical.Canonical
+import graft.canonical.{Canonical, ConnectedComponents}
 import graft.version.Versions
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -105,6 +105,33 @@ object SparkEntry {
   private def qVersionLatest(s: SparkSession, dir: String): DataFrame =
     Versions.latestVersions(graft.graph.Pipeline.versionNodes(s, dir))
 
+  /** Cross-conversation entity resolution: customers co-referenced through
+    * shared unknown items (the minted entities) form one canonical group —
+    * connected components over the co-reference graph (north rule's
+    * "connected-components entity resolution"). The pk-filter keeps the
+    * graph sparse enough that component structure is non-trivial. */
+  private def qComponents(s: SparkSession, dir: String): DataFrame = {
+    val itemPk = regexp_extract(col("obj"), "^item:unknown_([0-9]+)$", 1)
+    val corefs = resolvedOf(s, dir)
+      .filter(col("pred") === "mentions" &&
+        itemPk =!= "" && itemPk.cast("long") % 20 === 0)
+      .select(col("subj"), col("obj"))
+      .distinct()
+    val allNodes = qNodes(s, dir).unionByName(qNodesMinted(s, dir))
+      .select(col("canonical_name"), col("node_id"))
+    val edges = corefs
+      .join(broadcast(allNodes.withColumnRenamed("canonical_name", "subj")
+        .withColumnRenamed("node_id", "src")), Seq("subj"))
+      .join(broadcast(allNodes.withColumnRenamed("canonical_name", "obj")
+        .withColumnRenamed("node_id", "dst")), Seq("obj"))
+      .select(col("src"), col("dst"))
+    val verts = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct()
+    ConnectedComponents.runWithNodes(verts, edges)
+      .join(broadcast(allNodes), col("id") === col("node_id"))
+      .select(col("node_id"), col("canonical_name"), col("component"))
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kg_transcripts" -> (qTranscripts _),
@@ -120,6 +147,7 @@ object SparkEntry {
     "kg_version_nodes" -> (qVersionNodes _),
     "kg_version_edges" -> (qVersionEdges _),
     "kg_version_latest" -> (qVersionLatest _),
+    "kg_components" -> (qComponents _),
   )
 
   // ---- DuckDB oracle (structural reconstruction; never parses text) ----
@@ -144,9 +172,11 @@ object SparkEntry {
       |),
       |lic AS (SELECT li.*, oc.cust FROM li JOIN oc ON li.conv_id = oc.conv_id),
       |names AS (
-      |  SELECT cust AS canonical_name FROM oc
-      |  UNION SELECT pname FROM li
-      |  UNION SELECT sname FROM li
+      |  SELECT DISTINCT canonical_name FROM (
+      |    SELECT cust AS canonical_name FROM oc
+      |    UNION ALL SELECT pname FROM li
+      |    UNION ALL SELECT sname FROM li
+      |  )
       |),
       |nodes AS (
       |  SELECT split_part(canonical_name, ':', 1) AS node_type,
@@ -166,6 +196,41 @@ object SparkEntry {
       |)""".stripMargin
 
   private def withBase(body: String) = s"WITH $baseCtes\n$body"
+
+  private val componentsOracle =
+    s"""WITH RECURSIVE $baseCtes,
+      |minted AS (
+      |  SELECT CAST((SELECT count(*) FROM names) + row_number() OVER (ORDER BY canonical_name) - 1 AS BIGINT) AS node_id,
+      |         canonical_name
+      |  FROM (SELECT DISTINCT 'item:unknown_'||pk AS canonical_name FROM li WHERE k % 4 = 0)
+      |),
+      |allnodes AS (
+      |  SELECT node_id, canonical_name FROM nodes
+      |  UNION ALL SELECT node_id, canonical_name FROM minted
+      |),
+      |ce AS (
+      |  SELECT DISTINCT cust, 'item:unknown_'||pk AS item
+      |  FROM lic WHERE k % 4 = 0 AND pk % 20 = 0
+      |),
+      |eid AS (
+      |  SELECT a.node_id AS src, b.node_id AS dst
+      |  FROM ce
+      |  JOIN allnodes a ON ce.cust = a.canonical_name
+      |  JOIN allnodes b ON ce.item = b.canonical_name
+      |),
+      |und AS (SELECT DISTINCT s, d FROM (
+      |  SELECT src AS s, dst AS d FROM eid UNION ALL SELECT dst, src FROM eid
+      |)),
+      |verts AS (SELECT DISTINCT s AS id FROM und),
+      |reach AS (
+      |  SELECT id, id AS comp FROM verts
+      |  UNION
+      |  SELECT u.d AS id, r.comp FROM reach r JOIN und u ON u.s = r.id WHERE r.comp < u.d
+      |)
+      |SELECT v.id AS node_id, n.canonical_name, x.component
+      |FROM verts v
+      |JOIN (SELECT id, min(comp) AS component FROM reach GROUP BY id) x ON v.id = x.id
+      |JOIN allnodes n ON v.id = n.node_id""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. */
@@ -281,5 +346,7 @@ object SparkEntry {
         |  ) WHERE prev IS NULL OR prev <> state
         |)
         |GROUP BY entity""".stripMargin),
+
+    "kg_components" -> componentsOracle,
   )
 }
