@@ -1,0 +1,197 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+
+/** Driver-contract queries for the training-data pipeline operators
+  * (dedup / similarity / text analysis / multimodal) over the `documents`
+  * and `embeddings` tables, with DuckDB oracles. */
+object OpsEntry {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(docs(s, dir)).select(
+        col("text_hash"), col("keep_id"), col("n_dups").cast("long").as("n_dups"))),
+
+    "doc_minhash_lsh" -> ((s, dir) => Dedup.minhashBuckets(docs(s, dir))),
+
+    "doc_simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir))),
+
+    "doc_jaccard_top" -> ((s, dir) => Dedup.jaccardTopPairs(docs(s, dir))),
+
+    "doc_lang_id" -> ((s, dir) => TextOps.langId(docs(s, dir))),
+
+    "doc_quality" -> ((s, dir) => TextOps.qualityScore(docs(s, dir))),
+
+    "doc_tokens" -> ((s, dir) => TextOps.tokenCounts(docs(s, dir))),
+
+    "doc_fingerprint" -> ((s, dir) => TextOps.fingerprints(docs(s, dir))),
+
+    "doc_media_meta" -> ((s, dir) => Multimodal.extract(s, docs(s, dir))),
+
+    "emb_ann_topk" -> ((s, dir) => Similarity.bruteForceTopK(emb(s, dir))),
+
+    "emb_lsh_buckets" -> ((s, dir) => Similarity.lshBuckets(emb(s, dir))),
+  )
+
+  /** Word 3-gram shingle CTE (mirrors Dedup.shingles for docs with >= 3
+    * words — the corpus guarantees >= 10). */
+  private def shingleCte(n: Int): String = {
+    val leads = (1 until n).map(j => s"lead(s,$j) OVER win").mkString("||' '||", "||' '||", "")
+    s"""w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |tok AS (SELECT doc_id, unnest(ws) AS s, generate_subscripts(ws, 1) AS i FROM w),
+       |sh AS (SELECT doc_id, s $leads AS shingle
+       |       FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+       |shf AS (SELECT doc_id, shingle FROM sh WHERE shingle IS NOT NULL)""".stripMargin
+  }
+
+  private val minhashCols = (0 until 8)
+    .map(s => s"min(md5('$s|'||shingle)) AS m$s").mkString(", ")
+
+  private val simhashSums = (1 to 16)
+    .map(p => s"sum(CASE WHEN substr(h,$p,1) >= '8' THEN 1 ELSE -1 END) AS b$p")
+    .mkString(", ")
+  private val simhashBits = (1 to 16)
+    .map(p => s"(CASE WHEN b$p > 0 THEN '1' ELSE '0' END)").mkString("||")
+
+  private val langRatio: String => String = dict =>
+    s"CAST(round(CAST(len(list_filter(string_split(text,' '), x -> x IN ($dict))) AS DOUBLE) / len(string_split(text,' ')) * 1000000) AS BIGINT)"
+
+  private def dictSql(l: String) =
+    TextOps.langDicts.toMap.apply(l).map(w => s"'$w'").mkString(", ")
+
+  def oracleSql: Map[String, String] = Map(
+    "doc_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+        |       CAST(count(*) AS BIGINT) AS n_dups
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "doc_minhash_lsh" ->
+      s"""WITH ${shingleCte(3)},
+        |m AS (SELECT doc_id, $minhashCols FROM shf GROUP BY doc_id)
+        |SELECT doc_id, CAST(0 AS BIGINT) AS band, md5(m0||m1) AS bucket FROM m
+        |UNION ALL SELECT doc_id, CAST(1 AS BIGINT), md5(m2||m3) FROM m
+        |UNION ALL SELECT doc_id, CAST(2 AS BIGINT), md5(m4||m5) FROM m
+        |UNION ALL SELECT doc_id, CAST(3 AS BIGINT), md5(m6||m7) FROM m""".stripMargin,
+
+    "doc_simhash" ->
+      s"""WITH tok AS (
+        |  SELECT doc_id, md5(unnest(string_split(text,' '))) AS h FROM documents
+        |),
+        |b AS (SELECT doc_id, $simhashSums FROM tok GROUP BY doc_id)
+        |SELECT doc_id, $simhashBits AS simhash FROM b""".stripMargin,
+
+    "doc_jaccard_top" ->
+      """WITH tok AS (
+        |  SELECT source AS blk, doc_id AS id,
+        |         unnest(list_distinct(string_split(text,' '))) AS word
+        |  FROM documents
+        |),
+        |sz AS (SELECT id, count(*) AS sz FROM tok GROUP BY id),
+        |common AS (
+        |  SELECT t1.blk AS blk, t1.id AS a, t2.id AS b, count(*) AS inter
+        |  FROM tok t1 JOIN tok t2 ON t1.blk = t2.blk AND t1.word = t2.word AND t1.id < t2.id
+        |  GROUP BY t1.blk, t1.id, t2.id
+        |),
+        |scored AS (
+        |  SELECT blk, a, b,
+        |         CAST(round(CAST(inter AS DOUBLE) / CAST(sza.sz + szb.sz - inter AS DOUBLE) * 1000000) AS BIGINT) AS jaccard_ppm
+        |  FROM common
+        |  JOIN sz sza ON common.a = sza.id
+        |  JOIN sz szb ON common.b = szb.id
+        |)
+        |SELECT blk, a, b, jaccard_ppm, rk FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY blk ORDER BY jaccard_ppm DESC, a, b) AS BIGINT) AS rk
+        |  FROM scored
+        |) WHERE rk <= 5""".stripMargin,
+
+    "doc_lang_id" -> {
+      val rs = TextOps.langDicts.map { case (l, _) =>
+        s"${langRatio(dictSql(l))} AS r_$l"
+      }.mkString(",\n       ")
+      val g = TextOps.langDicts.map(x => s"r_${x._1}").mkString("greatest(", ", ", ")")
+      val cases = TextOps.langDicts.map { case (l, _) =>
+        s"WHEN r_$l = $g AND r_$l > 0 THEN '$l'"
+      }.mkString(" ")
+      s"""SELECT doc_id, r_de, r_en, r_es, r_fr, r_zh,
+        |       CASE $cases ELSE 'und' END AS pred_lang
+        |FROM (SELECT doc_id,
+        |       $rs
+        |FROM documents)""".stripMargin
+    },
+
+    "doc_quality" ->
+      s"""SELECT doc_id,
+        |  CAST(nw AS BIGINT) AS n_words,
+        |  CAST(round((CAST(length(text) AS DOUBLE) - (nw - 1)) / nw * 1000000) AS BIGINT) AS avg_word_len_ppm,
+        |  CAST(round(stopn / nw * 1000000) AS BIGINT) AS stopword_ppm,
+        |  CAST(round((least(nw / 100.0, 1.0) * 0.4 + (stopn / nw) * 0.3 +
+        |       least(((CAST(length(text) AS DOUBLE) - (nw - 1)) / nw) / 10.0, 1.0) * 0.3) * 1000000) AS BIGINT) AS quality_ppm
+        |FROM (
+        |  SELECT doc_id, text,
+        |         CAST(len(string_split(text,' ')) AS DOUBLE) AS nw,
+        |         CAST(len(list_filter(string_split(text,' '), x -> x IN (${dictSql("en")}))) AS DOUBLE) AS stopn
+        |  FROM documents)""".stripMargin,
+
+    "doc_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text,' ')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS re_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars
+        |FROM documents""".stripMargin,
+
+    "doc_fingerprint" -> {
+      val fps = (0 until 4).map(s => s"min(md5('$s|'||shingle)) AS fp$s").mkString(", ")
+      s"""WITH ${shingleCte(5)}
+        |SELECT doc_id, $fps FROM shf GROUP BY doc_id""".stripMargin
+    },
+
+    "doc_media_meta" ->
+      """SELECT doc_id, n AS n_bytes,
+        |       64 + n % 576 AS width,
+        |       36 + (n * 7) % 324 AS height,
+        |       1 + n % 24 AS frames,
+        |       'fake/rgb8' AS format
+        |FROM (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n FROM documents)""".stripMargin,
+
+    "emb_ann_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 20),
+        |p AS (SELECT q.query_id, e.vec_id, q.qe, e.embedding AS ve
+        |      FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+        |z AS (SELECT query_id, vec_id, unnest(qe) AS xa, unnest(ve) AS xb FROM p),
+        |d AS (SELECT query_id, vec_id,
+        |             sum(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE)) AS dot,
+        |             sum(CAST(xa AS DOUBLE) * CAST(xa AS DOUBLE)) AS na,
+        |             sum(CAST(xb AS DOUBLE) * CAST(xb AS DOUBLE)) AS nb
+        |      FROM z GROUP BY query_id, vec_id),
+        |s AS (SELECT query_id, vec_id AS neighbor_id,
+        |             CAST(round(dot / (sqrt(na) * sqrt(nb)) * 1000000) AS BIGINT) AS cos_ppm
+        |      FROM d)
+        |SELECT query_id, neighbor_id, cos_ppm, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_ppm DESC, neighbor_id) AS BIGINT) AS rank
+        |  FROM s
+        |) WHERE rank <= 10""".stripMargin,
+
+    "emb_lsh_buckets" ->
+      """WITH pl AS (
+        |  SELECT t1.range AS p, t2.range AS d,
+        |         CASE WHEN substr(md5(t1.range||'|'||t2.range),1,1) >= '8' THEN 1.0 ELSE -1.0 END AS w
+        |  FROM range(0,8) t1, range(0,64) t2
+        |),
+        |v AS (SELECT vec_id, unnest(embedding) AS x,
+        |             generate_subscripts(embedding, 1) - 1 AS d
+        |      FROM embeddings),
+        |proj AS (SELECT vec_id, p, sum(w * CAST(x AS DOUBLE)) AS s
+        |         FROM v JOIN pl USING(d) GROUP BY vec_id, p)
+        |SELECT vec_id,
+        |       string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+        |FROM proj GROUP BY vec_id""".stripMargin,
+  )
+}

@@ -148,7 +148,7 @@ object SparkEntry {
     "kg_version_edges" -> (qVersionEdges _),
     "kg_version_latest" -> (qVersionLatest _),
     "kg_components" -> (qComponents _),
-  )
+  ) ++ OpsEntry.queries
 
   // ---- DuckDB oracle (structural reconstruction; never parses text) ----
 
@@ -348,5 +348,5 @@ object SparkEntry {
         |GROUP BY entity""".stripMargin),
 
     "kg_components" -> componentsOracle,
-  )
+  ) ++ OpsEntry.oracleSql
 }

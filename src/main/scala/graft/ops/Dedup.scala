@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * All hashing is md5-hex based so the DuckDB oracle can reproduce results
+  * bit-for-bit (engine-native hash functions differ between engines);
+  * lexicographic minima over hex strings are order-free and associative,
+  * i.e. map-side combinable — the property that matters at 100 TB.
+  */
+object Dedup {
+
+  /** Word n-gram shingles of a text column (assumes >= n words falls back
+    * to the whole text otherwise). Pure column expression (codegen). */
+  def shingles(text: Column, n: Int): Column = {
+    val w = split(text, " ")
+    when(size(w) >= n,
+      transform(
+        sequence(lit(1), size(w) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j)): _*)))
+      .otherwise(array(text))
+  }
+
+  /** One minhash value: lexicographic min of md5(seed || '|' || shingle).
+    * A distinct min-wise hash per seed. */
+  def minhash(shingleCol: Column, seed: Int): Column =
+    array_min(transform(shingleCol, s => md5(concat(lit(s"$seed|"), s))))
+
+  /** Exact dedup: group identical texts, keep the minimum id as the
+    * canonical representative (hash-groupBy; one shuffle on the digest). */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** MinHash signatures + LSH band buckets: k hashes, k/rowsPerBand bands;
+    * docs sharing any (band, bucket) are near-dup candidates. Returns one
+    * row per (doc, band). */
+  def minhashBuckets(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", ngram: Int = 3, k: Int = 8,
+      rowsPerBand: Int = 2): DataFrame = {
+    val sh = shingles(col(textCol), ngram)
+    val sigs = (0 until k).map(s => minhash(sh, s).as(s"m$s"))
+    val withSig = docs.select(col(idCol) +: sigs: _*)
+    val nBands = k / rowsPerBand
+    val bands = (0 until nBands).map { b =>
+      val parts = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}"))
+      withSig.select(
+        col(idCol), lit(b).cast("long").as("band"),
+        md5(concat(parts: _*)).as("bucket"))
+    }
+    bands.reduce(_ unionByName _)
+  }
+
+  /** Candidate near-dup pairs: same (band, bucket), a < b, deduped across
+    * bands. The self-join key is the bucket digest — uniform unless the
+    * corpus is degenerate; AQE skew-join covers hot buckets. */
+  def candidatePairs(buckets: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val a = buckets.select(col("band"), col("bucket"), col(idCol).as("a"))
+    val b = buckets.select(col("band"), col("bucket"), col(idCol).as("b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
+  /** Verify candidates with exact shingle-set Jaccard; keeps pairs with
+    * similarity >= threshold. */
+  def verifyJaccard(docs: DataFrame, pairs: DataFrame, threshold: Double,
+      idCol: String = "doc_id", textCol: String = "text", ngram: Int = 3): DataFrame = {
+    val withSh = docs.select(col(idCol),
+      array_distinct(shingles(col(textCol), ngram)).as("sh"))
+    pairs
+      .join(withSh.select(col(idCol).as("a"), col("sh").as("sha")), "a")
+      .join(withSh.select(col(idCol).as("b"), col("sh").as("shb")), "b")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("double"))
+      .withColumn("uni", (size(col("sha")) + size(col("shb")) - col("inter")).cast("double"))
+      .withColumn("jaccard", col("inter") / col("uni"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /** 16-bit SimHash from the top bit of 16 md5-hex positions per token
+    * (each hex-digit top bit is an independent 1-bit hash). Portable to
+    * any engine with md5 + substr. */
+  def simhash(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val tok = docs.select(col(idCol), explode(split(col(textCol), " ")).as("w"))
+      .withColumn("h", md5(col("w")))
+    val sums = (1 to 16).map(p =>
+      sum(when(substring(col("h"), p, 1) >= "8", 1).otherwise(-1)).as(s"b$p"))
+    val agg = tok.groupBy(col(idCol)).agg(sums.head, sums.tail: _*)
+    val bits = (1 to 16).map(p => when(col(s"b$p") > 0, "1").otherwise("0"))
+    agg.select(col(idCol), concat(bits: _*).as("simhash"))
+  }
+
+  /** Token-level Jaccard similarity within a blocking key (here `source`),
+    * via an inverted-index self-join; emits top-k pairs per block.
+    * This is the n-gram Jaccard near-dup primitive with blocking to bound
+    * the pair explosion (same-block pairs only). */
+  def jaccardTopPairs(docs: DataFrame, blockCol: String = "source",
+      idCol: String = "doc_id", textCol: String = "text", topK: Int = 5): DataFrame = {
+    val tok = docs.select(col(blockCol).as("blk"), col(idCol).as("id"),
+      explode(array_distinct(split(col(textCol), " "))).as("w"))
+    val sizes = tok.groupBy("id").agg(count(lit(1)).as("sz"))
+    val a = tok.select(col("blk"), col("w"), col("id").as("a"))
+    val b = tok.select(col("blk"), col("w"), col("id").as("b"))
+    val common = a.join(b, Seq("blk", "w"))
+      .filter(col("a") < col("b"))
+      .groupBy("blk", "a", "b").agg(count(lit(1)).as("inter"))
+    val scored = common
+      .join(broadcast(sizes.select(col("id").as("a"), col("sz").as("sza"))), "a")
+      .join(broadcast(sizes.select(col("id").as("b"), col("sz").as("szb"))), "b")
+      // scaled-integer score (parts-per-million): floating-point rounding
+      // differs in the last ulp across engines, integers compare exactly
+      .withColumn("jaccard_ppm",
+        round(col("inter").cast("double") /
+          (col("sza") + col("szb") - col("inter")).cast("double") * 1e6)
+          .cast("long"))
+    val w = Window.partitionBy("blk")
+      .orderBy(col("jaccard_ppm").desc, col("a"), col("b"))
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .select(col("blk"), col("a"), col("b"), col("jaccard_ppm"), col("rk").cast("long").as("rk"))
+  }
+}

@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation: language ID,
+  * quality scoring, token counting, document fingerprinting. All pure
+  * column expressions (whole-stage codegen; no UDFs). */
+object TextOps {
+
+  /** Tiny stopword dictionaries per language (n-gram/stopword-ratio
+    * heuristic language ID). Deterministic and oracle-reproducible. */
+  val langDicts: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "de", "y", "es"),
+    "fr" -> Seq("le", "la", "et", "est", "un"),
+    "zh" -> Seq("de", "shi", "he", "zai", "le"))
+
+  private def tokens(text: Column): Column = split(text, " ")
+
+  /** Stopword-hit ratio as parts-per-million (integer — exact across
+    * engines, unlike rounded doubles). */
+  private def hitRatioPpm(text: Column, dict: Seq[String]): Column = {
+    val t = tokens(text)
+    round(size(filter(t, w => w.isin(dict.map(lit(_)): _*)))
+      .cast("double") / size(t).cast("double") * 1e6).cast("long")
+  }
+
+  /** Predicted language = argmax stopword-hit ratio, ties broken by
+    * language code order (deterministic). Emits per-language ratios. */
+  def langId(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val ratios = langDicts.map { case (l, d) =>
+      hitRatioPpm(col(textCol), d).as(s"r_$l")
+    }
+    val withR = docs.select(col(idCol) +: ratios: _*)
+    // argmax via greatest + chained when (langs sorted asc => first max wins)
+    val best = langDicts.map(_._1).foldRight(lit("und")) { (l, acc) =>
+      when(col(s"r_$l") === greatest(langDicts.map(x => col(s"r_${x._1}")): _*)
+        && col(s"r_$l") > 0, l).otherwise(acc)
+    }
+    withR.withColumn("pred_lang", best)
+  }
+
+  /** Quality score: bounded word-count, stopword-ratio and word-length
+    * components (the classic Gopher-style length/stopword gates, reduced
+    * to a deterministic formula). */
+  def qualityScore(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val t = tokens(col(textCol))
+    val nWords = size(t).cast("double")
+    val stopR = size(filter(t, w =>
+      w.isin(langDicts.toMap.apply("en").map(lit(_)): _*)))
+      .cast("double") / nWords
+    val avgLen = (length(col(textCol)) - (size(t) - 1)).cast("double") / nWords
+    docs.select(
+      col(idCol),
+      size(t).cast("long").as("n_words"),
+      round(avgLen * 1e6).cast("long").as("avg_word_len_ppm"),
+      round(stopR * 1e6).cast("long").as("stopword_ppm"),
+      round(
+        (least(nWords / 100.0, lit(1.0)) * 0.4 +
+          stopR * 0.3 +
+          least(avgLen / 10.0, lit(1.0)) * 0.3) * 1e6).cast("long").as("quality_ppm"))
+  }
+
+  /** Token counts: whitespace tokens and a BPE-ish regex tokenizer
+    * (letter runs | digit runs | single non-alnum). */
+  def tokenCounts(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(
+      col(idCol),
+      size(split(col(textCol), " ")).cast("long").as("ws_tokens"),
+      size(regexp_extract_all(col(textCol),
+        lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long").as("re_tokens"),
+      length(col(textCol)).cast("long").as("n_chars"))
+
+  /** Document fingerprint: 4 min-wise hashes over word 5-gram shingles
+    * (rolling-hash winnowing, expressed as seeded md5 minima). Stable
+    * under small edits away from the minimal shingles. */
+  def fingerprints(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val sh = Dedup.shingles(col(textCol), 5)
+    docs.select(
+      col(idCol) +: (0 until 4).map(s => Dedup.minhash(sh, s).as(s"fp$s")): _*)
+  }
+}

@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank", "s1"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bend", "s1"), // near-dup of 1
+    (3L, "completely different words about spark shuffle partitions and joins ok", "s1"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank", "s2"), // exact dup of 1
+    (5L, "unrelated text with tokens alpha beta gamma delta epsilon zeta eta", "s2"))
+    .toDF("doc_id", "text", "source")
+
+  test("exact dedup groups identical texts and keeps min id") {
+    val d = Dedup.exact(corpus).collect()
+    assert(d.length === 4) // 1&4 collapse
+    val dup = d.find(_.getAs[Long]("n_dups") == 2L).get
+    assert(dup.getAs[Long]("keep_id") === 1L)
+  }
+
+  test("minhash LSH buckets collide for near-dups, not for unrelated docs") {
+    val pairs = Dedup.candidatePairs(Dedup.minhashBuckets(corpus))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)), "exact dup must collide in every band")
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L)),
+      "near-dup should share at least one band bucket")
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L),
+      "unrelated doc must not collide")
+  }
+
+  test("jaccard verification separates near-dups from candidates") {
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("a", "b")
+    val v = Dedup.verifyJaccard(corpus, pairs, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(v === Set((1L, 2L)))
+  }
+
+  test("simhash: near-dups differ in few bits, unrelated docs in many") {
+    val sh = Dedup.simhash(corpus).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def ham(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    assert(sh(1L) === sh(4L))
+    assert(ham(sh(1L), sh(2L)) <= 4)
+    assert(ham(sh(1L), sh(5L)) >= 4)
+  }
+
+  test("brute-force ANN: self-similar vectors rank first") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.1f, 0.0f, 0.0f)), // close to 0
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 0.98f, 0.2f, 0.0f)), // close to 2
+      (4L, Array(0.0f, 0.0f, 0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(vecs, nQueries = 2, k = 1).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    assert(top === Map(0L -> 1L, 1L -> 0L))
+  }
+
+  test("LSH buckets put near-identical vectors together") {
+    val base = (0 until 64).map(i => math.sin(i * 1.7).toFloat).toArray
+    val near = base.clone(); near(0) = near(0) + 0.01f
+    val far = (0 until 64).map(i => math.cos(i * 3.1).toFloat).toArray
+    val vecs = Seq((0L, base), (1L, near), (2L, far)).toDF("vec_id", "embedding")
+    val b = Similarity.lshBuckets(vecs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(b(0L) === b(1L))
+    assert(b(0L) !== b(2L))
+    assert(b(0L).length === 8 && b(0L).forall(c => c == '0' || c == '1'))
+  }
+
+  test("lang id predicts the dictionary language") {
+    val docs = Seq(
+      (1L, "the cat is on the mat and the dog is here"),
+      (2L, "le chat est la et le chien est un ami"),
+      (3L, "xyz qqq zzz www")).toDF("doc_id", "text")
+    val got = TextOps.langId(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang")).toMap
+    assert(got(1L) === "en")
+    assert(got(2L) === "fr")
+    assert(got(3L) === "und")
+  }
+
+  test("token counts: regex tokenizer splits punctuation") {
+    val docs = Seq((1L, "hello world42 x-y")).toDF("doc_id", "text")
+    val r = TextOps.tokenCounts(docs).collect().head
+    assert(r.getAs[Long]("ws_tokens") === 3L)
+    // hello | world | 42 | x | - | y
+    assert(r.getAs[Long]("re_tokens") === 6L)
+  }
+
+  test("multimodal stub decode: deterministic metadata from payload bytes") {
+    val docs = Seq((7L, "abcd", "s")).toDF("doc_id", "text", "source")
+    val m = Multimodal.extract(spark, docs).collect().head
+    assert(m.getAs[Long]("n_bytes") === 4L)
+    assert(m.getAs[Long]("width") === 68L)
+    assert(m.getAs[String]("format") === "fake/rgb8")
+  }
+
+  test("fingerprints stable under distant edits") {
+    val a = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    val b = a + " tail1 tail2" // appended words leave most 5-gram minima intact
+    val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val fp = TextOps.fingerprints(docs).collect()
+      .map(r => r.getLong(0) -> (1 to 4).map(i => r.getString(i))).toMap
+    val overlap = fp(1L).zip(fp(2L)).count { case (x, y) => x == y }
+    assert(overlap >= 2, s"expected mostly-stable fingerprints, got $overlap/4")
+  }
+}
