@@ -132,6 +132,21 @@ object SparkEntry {
       .select(col("node_id"), col("canonical_name"), col("component"))
   }
 
+  /** Fuzzy entity linking (the profiled hot stage): deterministic noisy
+    * surface forms (part names with the last character clipped; every 3rd
+    * kept exact) linked back to the canonical part-name dictionary via
+    * broadcast exact match + trigram-MinHash blocking + Jaccard scoring. */
+  private def qFuzzyLink(s: SparkSession, dir: String): DataFrame = {
+    val p = s.read.parquet(s"$dir/part.parquet")
+    val pname = regexp_replace(col("p_name"), " ", "_")
+    val surfaces = p.select(
+      when(col("p_partkey") % 3 === 0, pname)
+        .otherwise(pname.substr(lit(1), length(pname) - 1)).as("surface"))
+      .distinct()
+    val dict = p.select(pname.as("name")).distinct()
+    graft.link.FuzzyLink.link(surfaces, dict)
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kg_transcripts" -> (qTranscripts _),
@@ -148,6 +163,7 @@ object SparkEntry {
     "kg_version_edges" -> (qVersionEdges _),
     "kg_version_latest" -> (qVersionLatest _),
     "kg_components" -> (qComponents _),
+    "kg_fuzzy_link" -> (qFuzzyLink _),
   ) ++ OpsEntry.queries
 
   // ---- DuckDB oracle (structural reconstruction; never parses text) ----
@@ -348,5 +364,79 @@ object SparkEntry {
         |GROUP BY entity""".stripMargin),
 
     "kg_components" -> componentsOracle,
+
+    "kg_fuzzy_link" ->
+      """WITH pn AS (SELECT DISTINCT replace(p_name,' ','_') AS name FROM part),
+        |sur AS (
+        |  SELECT DISTINCT CASE WHEN p_partkey % 3 = 0 THEN replace(p_name,' ','_')
+        |         ELSE substr(replace(p_name,' ','_'), 1, length(replace(p_name,' ','_'))-1) END AS surface
+        |  FROM part
+        |),
+        |exact AS (
+        |  SELECT surface, surface AS matched, CAST(1000000 AS BIGINT) AS score_ppm, 'exact' AS method
+        |  FROM sur WHERE surface IN (SELECT name FROM pn)
+        |),
+        |miss AS (SELECT surface FROM sur WHERE surface NOT IN (SELECT name FROM pn)),
+        |stg AS (
+        |  SELECT DISTINCT surface,
+        |         substr('^'||surface||'$', CAST(unnest(range(1, length('^'||surface||'$')-1)) AS INT), 3) AS tg
+        |  FROM miss
+        |),
+        |dtg AS (
+        |  SELECT DISTINCT name,
+        |         substr('^'||name||'$', CAST(unnest(range(1, length('^'||name||'$')-1)) AS INT), 3) AS tg
+        |  FROM pn
+        |),
+        |smh AS (SELECT surface, min(md5('0|'||tg)) AS m0,
+        |               min(md5('1|'||tg)) AS m1,
+        |               min(md5('2|'||tg)) AS m2,
+        |               min(md5('3|'||tg)) AS m3,
+        |               min(md5('4|'||tg)) AS m4,
+        |               min(md5('5|'||tg)) AS m5,
+        |               min(md5('6|'||tg)) AS m6,
+        |               min(md5('7|'||tg)) AS m7
+        |        FROM stg GROUP BY surface),
+        |dmh AS (SELECT name, min(md5('0|'||tg)) AS m0,
+        |               min(md5('1|'||tg)) AS m1,
+        |               min(md5('2|'||tg)) AS m2,
+        |               min(md5('3|'||tg)) AS m3,
+        |               min(md5('4|'||tg)) AS m4,
+        |               min(md5('5|'||tg)) AS m5,
+        |               min(md5('6|'||tg)) AS m6,
+        |               min(md5('7|'||tg)) AS m7
+        |        FROM dtg GROUP BY name),
+        |sbk AS (SELECT surface, CAST(0 AS BIGINT) AS band, md5(m0||m1) AS bucket FROM smh
+        |        UNION ALL SELECT surface, CAST(1 AS BIGINT), md5(m2||m3) FROM smh
+        |        UNION ALL SELECT surface, CAST(2 AS BIGINT), md5(m4||m5) FROM smh
+        |        UNION ALL SELECT surface, CAST(3 AS BIGINT), md5(m6||m7) FROM smh),
+        |dbk AS (SELECT name, CAST(0 AS BIGINT) AS band, md5(m0||m1) AS bucket FROM dmh
+        |        UNION ALL SELECT name, CAST(1 AS BIGINT), md5(m2||m3) FROM dmh
+        |        UNION ALL SELECT name, CAST(2 AS BIGINT), md5(m4||m5) FROM dmh
+        |        UNION ALL SELECT name, CAST(3 AS BIGINT), md5(m6||m7) FROM dmh),
+        |cand AS (SELECT DISTINCT s.surface, d.name AS cand
+        |         FROM sbk s JOIN dbk d ON s.band = d.band AND s.bucket = d.bucket),
+        |ssz AS (SELECT surface, count(*) AS sz FROM stg GROUP BY surface),
+        |dsz AS (SELECT name, count(*) AS sz FROM dtg GROUP BY name),
+        |inter AS (
+        |  SELECT c.surface, c.cand, count(*) AS inter
+        |  FROM cand c
+        |  JOIN stg ON stg.surface = c.surface
+        |  JOIN dtg ON dtg.name = c.cand AND dtg.tg = stg.tg
+        |  GROUP BY c.surface, c.cand
+        |),
+        |scored AS (
+        |  SELECT i.surface, i.cand,
+        |         CAST(round(CAST(i.inter AS DOUBLE) / CAST(ssz.sz + dsz.sz - i.inter AS DOUBLE) * 1000000) AS BIGINT) AS score_ppm
+        |  FROM inter i
+        |  JOIN ssz ON ssz.surface = i.surface
+        |  JOIN dsz ON dsz.name = i.cand
+        |),
+        |best AS (
+        |  SELECT surface, cand AS matched, score_ppm, 'fuzzy' AS method FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY surface ORDER BY score_ppm DESC, cand) AS rk
+        |    FROM scored WHERE score_ppm >= 300000
+        |  ) WHERE rk = 1
+        |)
+        |SELECT * FROM exact UNION ALL SELECT * FROM best""".stripMargin,
   ) ++ OpsEntry.oracleSql
 }

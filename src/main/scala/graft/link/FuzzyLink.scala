@@ -1,0 +1,87 @@
+package graft.link
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Fuzzy entity linking: map noisy surface forms onto a canonical
+  * dictionary — the north star's profiled hot stage ("batched per-partition
+  * mention detection and entity-link scoring via broadcast dictionary +
+  * trigram/MinHash candidate blocking").
+  *
+  * Shape: exact matches short-circuit via a broadcast semi-join (the
+  * reference's dict lookup, call_graph.py:729-732); the fuzzy remainder is
+  * blocked by MinHash bands over character trigrams (candidate pairs
+  * become an equi-join on band buckets instead of a surface × dictionary
+  * cross join), then scored by exact trigram Jaccard and resolved to the
+  * best candidate with a total deterministic tiebreak (score desc, name
+  * asc). Everything is md5-based column expressions — codegen'd, and
+  * reproducible in the DuckDB oracle.
+  */
+object FuzzyLink {
+
+  /** Character trigrams of a (short) name, padded so prefixes/suffixes
+    * count: "^ab", "abc", ..., "z$" — distinct set. */
+  def charTrigramsCol(name: Column): Column = {
+    val padded = concat(lit("^"), name, lit("$"))
+    array_distinct(transform(
+      sequence(lit(1), length(padded) - 2),
+      i => padded.substr(i, lit(3))))
+  }
+
+  /** MinHash band buckets over char trigrams (k seeds, rowsPerBand). */
+  def nameBuckets(df: DataFrame, nameCol: String, k: Int = 8,
+      rowsPerBand: Int = 2): DataFrame = {
+    val tg = charTrigramsCol(col(nameCol))
+    val sigs = (0 until k).map(s =>
+      array_min(transform(tg, t => md5(concat(lit(s"$s|"), t)))).as(s"m$s"))
+    val withSig = df.select(col(nameCol) +: sigs: _*)
+    val nBands = k / rowsPerBand
+    (0 until nBands).map { b =>
+      val parts = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}"))
+      withSig.select(col(nameCol), lit(b).cast("long").as("band"),
+        md5(concat(parts: _*)).as("bucket"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Link surfaces to dictionary names.
+    * Output: (surface, matched, score_ppm, method ∈ {exact, fuzzy}).
+    * Surfaces with no candidate above `minScorePpm` are dropped (the
+    * caller can left-join to keep misses). */
+  def link(surfaces: DataFrame, dict: DataFrame, surfaceCol: String = "surface",
+      dictCol: String = "name", minScorePpm: Long = 300000L): DataFrame = {
+    val exact = surfaces
+      .join(broadcast(dict.select(col(dictCol).as(surfaceCol))), Seq(surfaceCol), "left_semi")
+      .select(col(surfaceCol), col(surfaceCol).as("matched"),
+        lit(1000000L).as("score_ppm"), lit("exact").as("method"))
+
+    val misses = surfaces
+      .join(broadcast(dict.select(col(dictCol).as(surfaceCol))), Seq(surfaceCol), "left_anti")
+
+    val sb = nameBuckets(misses, surfaceCol)
+      .withColumnRenamed(surfaceCol, "surface_")
+    val db = nameBuckets(dict, dictCol).withColumnRenamed(dictCol, "cand")
+    val candidates = sb.join(db, Seq("band", "bucket"))
+      .select(col("surface_"), col("cand")).distinct()
+
+    val scored = candidates
+      .withColumn("tg_s", charTrigramsCol(col("surface_")))
+      .withColumn("tg_c", charTrigramsCol(col("cand")))
+      .withColumn("inter", size(array_intersect(col("tg_s"), col("tg_c"))).cast("double"))
+      .withColumn("score_ppm",
+        round(col("inter") /
+          (size(col("tg_s")) + size(col("tg_c")) - col("inter")).cast("double") * 1e6)
+          .cast("long"))
+      .filter(col("score_ppm") >= minScorePpm)
+
+    val w = Window.partitionBy("surface_")
+      .orderBy(col("score_ppm").desc, col("cand"))
+    val best = scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("surface_").as(surfaceCol), col("cand").as("matched"),
+        col("score_ppm"), lit("fuzzy").as("method"))
+
+    exact.unionByName(best)
+  }
+}
