@@ -164,7 +164,7 @@ object SparkEntry {
     "kg_version_latest" -> (qVersionLatest _),
     "kg_components" -> (qComponents _),
     "kg_fuzzy_link" -> (qFuzzyLink _),
-  ) ++ OpsEntry.queries
+  ) ++ OpsEntry.queries ++ RelEntry.queries
 
   // ---- DuckDB oracle (structural reconstruction; never parses text) ----
 
@@ -438,5 +438,5 @@ object SparkEntry {
         |  ) WHERE rk = 1
         |)
         |SELECT * FROM exact UNION ALL SELECT * FROM best""".stripMargin,
-  ) ++ OpsEntry.oracleSql
+  ) ++ OpsEntry.oracleSql ++ RelEntry.oracleSql
 }

@@ -1,0 +1,67 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.Events
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  private val rows = Seq(
+    (0L, t("2024-01-01 00:05:00"), 1L, "click", 1.25, "{\"k\": 1}"),
+    (1L, t("2024-01-01 00:40:00"), 1L, "click", 2.50, "{\"k\": 2}"),
+    (2L, t("2024-01-01 01:10:00"), 2L, "purchase", 10.00, "{\"k\": 3}"),
+    (3L, t("2024-01-01 01:20:00"), 1L, "click", 0.75, "{\"k\": 4}"),
+    (4L, t("2024-01-01 03:00:00"), 2L, "error", 5.00, "{\"k\": 5}"))
+
+  private def toDf(s: Seq[(Long, Timestamp, Long, String, Double, String)]) =
+    s.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  test("streaming hourly agg (watermarked window) matches the batch plan") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val stream = Events.streamingHourly(
+      mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val q = stream.writeStream.format("memory")
+      .queryName("hourly_agg").outputMode("complete").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val got = rowSet(spark.table("hourly_agg"))
+      val want = rowSet(Events.hourlyAgg(toDf(rows)))
+      assert(got === want)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("sessionization: 30-min gaps split sessions, ordered deterministically") {
+    val s = Events.sessionize(toDf(rows)).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_idx")) ->
+        r.getAs[Long]("n_events")).toMap
+    // user 1: 00:05 | 00:40, 01:20 gaps: 35min -> split; 40min -> split
+    assert(s === Map((1L, 1L) -> 1L, (1L, 2L) -> 1L, (1L, 3L) -> 1L,
+      (2L, 1L) -> 1L, (2L, 2L) -> 1L))
+  }
+
+  test("late events within watermark are still aggregated") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val stream = Events.streamingHourly(
+      mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val q = stream.writeStream.format("memory")
+      .queryName("late_agg").outputMode("complete").start()
+    try {
+      mem.addData(rows.head)
+      q.processAllAvailable()
+      mem.addData((9L, t("2024-01-01 00:01:00"), 3L, "click", 1.0, "{}")) // late but in watermark
+      q.processAllAvailable()
+      val n = spark.table("late_agg")
+        .filter("hour_s = '2024-01-01 00:00:00' and event_type = 'click'")
+        .collect().head.getAs[Long]("n_events")
+      assert(n === 2L)
+    } finally q.stop()
+  }
+}
