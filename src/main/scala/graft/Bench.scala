@@ -1,5 +1,15 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark main (driver contract): one JSON line on stdout.
+  *
+  * Measures two things:
+  *  1. the COLD staged pipeline (stage tables wiped first, so the number
+  *     is honest end-to-end work, not a checkpoint read) -> triples/sec;
+  *  2. every driver query, which then runs against the freshly committed
+  *     stage tables (the intended consumption pattern).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,9 +17,24 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // wipe this corpus's stage tables -> cold, reproducible pipeline run
+    val stageBase = new java.io.File(graft.graph.StageStore.baseFor(sfDir))
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    if (stageBase.exists()) rm(stageBase)
+
+    val p0 = System.nanoTime()
+    val nEdges = graft.graph.Pipeline.runAll(spark, sfDir)
+    val pipelineSec = (System.nanoTime() - p0) / 1e9
+    val tps = nEdges / pipelineSec
+
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -17,8 +42,10 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.values.sum + pipelineSec
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+        s""""pipeline_sec":$pipelineSec,"pipeline_edges":$nEdges,"triples_per_sec":$tps}""")
     spark.stop()
   }
 }

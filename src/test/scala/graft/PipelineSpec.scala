@@ -1,0 +1,62 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.graph.{Pipeline, StageStore}
+
+/** Checkpoint/resume semantics of the staged pipeline (north rule:
+  * "resumable from checkpoint with per-partition lineage + metrics"). */
+class PipelineSpec extends SparkSpec {
+
+  private def withStageRoot[A](f: => A): A = {
+    val dir = Files.createTempDirectory("graft_test_stages").toString
+    val old = sys.props.get("graft.stage.dir")
+    sys.props("graft.stage.dir") = dir
+    try f finally old match {
+      case Some(v) => sys.props("graft.stage.dir") = v
+      case None => sys.props.remove("graft.stage.dir")
+    }
+  }
+
+  test("stages are computed once and reused; pipeline is resumable") {
+    withStageRoot {
+      val sfDir = "/root/testdata/sf0.001"
+      val n1 = Pipeline.runAll(spark, sfDir)
+      assert(n1 > 0)
+      // mutate the committed mentions stage: a resumed run must NOT
+      // recompute it (it reads the committed table as-is)
+      val base = StageStore.baseFor(sfDir)
+      val marker = spark.read.parquet(s"$base/mentions").count()
+      val n2 = Pipeline.runAll(spark, sfDir)
+      assert(n2 === n1, "resumed run must reuse committed stages")
+      assert(spark.read.parquet(s"$base/mentions").count() === marker)
+    }
+  }
+
+  test("lineage has per-partition rows; metrics carry stage throughput") {
+    withStageRoot {
+      val sfDir = "/root/testdata/sf0.001"
+      Pipeline.runAll(spark, sfDir)
+      val lin = StageStore.lineage(spark, sfDir)
+      assert(lin.columns.toSet ===
+        Set("stage", "partition_id", "output_rows", "wall_ms"))
+      val stages = lin.select("stage").distinct()
+        .collect().map(_.getString(0)).toSet
+      assert(Set("mentions", "resolved", "triples", "nodes", "edges",
+        "version_nodes", "version_edges").subsetOf(stages))
+      // per-partition: at least one stage has multiple partition rows
+      val maxParts = lin.groupBy("stage").count()
+        .agg(max("count")).collect()(0).getLong(0)
+      assert(maxParts >= 1)
+      val met = StageStore.metrics(spark, sfDir)
+      val names = met.select("name").distinct().collect().map(_.getString(0)).toSet
+      assert(names === Set("output_rows", "wall_ms", "rows_per_sec"))
+      // lineage row counts must equal the committed table counts
+      val mentionsRows = lin.filter(col("stage") === "mentions")
+        .agg(sum("output_rows")).collect()(0).getLong(0)
+      assert(mentionsRows === spark.read
+        .parquet(s"${StageStore.baseFor(sfDir)}/mentions").count())
+    }
+  }
+}
