@@ -64,11 +64,16 @@ object Pipeline {
       Versions.versionEdges(versionNodes(spark, sfDir))
     }
 
-  /** Run every stage to completion (idempotent / resumable). Returns the
-    * number of emitted graph edges. */
+  /** Run every stage to completion (idempotent / resumable), in dependency
+    * order so each stage's recorded wall time covers only its own work.
+    * Returns the number of emitted graph edges. */
   def runAll(spark: SparkSession, sfDir: String): Long = {
+    mentions(spark, sfDir)
+    resolved(spark, sfDir)
     nodes(spark, sfDir)
+    triples(spark, sfDir)
     val e = edges(spark, sfDir).count()
+    versionNodes(spark, sfDir)
     versionEdges(spark, sfDir)
     e
   }

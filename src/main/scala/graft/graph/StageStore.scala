@@ -59,26 +59,26 @@ object StageStore {
     spark.read.parquet(dir)
   }
 
-  /** Per-partition lineage + stage metrics for a committed stage table. */
+  /** Per-partition lineage + stage metrics for a committed stage table.
+    * One metadata-cheap pass (count(1) by partition id reads zero data
+    * columns); partition rows are tiny, so they are collected once and
+    * both observability tables are written from local data. */
   private def commitObservability(spark: SparkSession, base: String,
       stage: String, dir: String, wallMs: Long): Unit = {
-    val out = spark.read.parquet(dir)
-    val lineage = out
+    import spark.implicits._
+    val parts = spark.read.parquet(dir)
       .groupBy(spark_partition_id().as("partition_id"))
       .agg(count(lit(1)).as("output_rows"))
-      .select(lit(stage).as("stage"), col("partition_id"),
-        col("output_rows"), lit(wallMs).as("wall_ms"))
-    lineage.write.mode("append").parquet(s"$base/_lineage")
-    // total from the (tiny) lineage table — avoids a second full scan
-    val rows = spark.read.parquet(s"$base/_lineage")
-      .filter(col("stage") === stage)
-      .agg(sum("output_rows")).collect()(0).getLong(0)
-    val metrics = spark.createDataFrame(Seq(
+      .collect().map(r => (stage, r.getInt(0), r.getLong(1), wallMs))
+    parts.toSeq.toDF("stage", "partition_id", "output_rows", "wall_ms")
+      .coalesce(1).write.mode("append").parquet(s"$base/_lineage")
+    val rows = parts.map(_._3).sum
+    Seq(
       (stage, "output_rows", rows.toDouble),
       (stage, "wall_ms", wallMs.toDouble),
-      (stage, "rows_per_sec", if (wallMs > 0) rows * 1000.0 / wallMs else 0.0)))
+      (stage, "rows_per_sec", if (wallMs > 0) rows * 1000.0 / wallMs else 0.0))
       .toDF("stage", "name", "value")
-    metrics.write.mode("append").parquet(s"$base/_metrics")
+      .coalesce(1).write.mode("append").parquet(s"$base/_metrics")
   }
 
   def lineage(spark: SparkSession, inputKey: String): DataFrame =
