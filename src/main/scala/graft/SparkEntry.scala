@@ -132,6 +132,23 @@ object SparkEntry {
       .select(col("node_id"), col("canonical_name"), col("component"))
   }
 
+  /** Degree distribution over the emitted graph (per-node in/out degree —
+    * the first analytic a KG consumer runs; also exercises the unified
+    * edges table as a source). */
+  private def qDegrees(s: SparkSession, dir: String): DataFrame = {
+    val e = graft.graph.Pipeline.edges(s, dir)
+    val n = graft.graph.Pipeline.nodes(s, dir)
+    val outD = e.groupBy(col("src_id").as("node_id"))
+      .agg(count(lit(1)).as("out_deg"))
+    val inD = e.groupBy(col("dst_id").as("node_id"))
+      .agg(count(lit(1)).as("in_deg"))
+    n.join(outD, Seq("node_id"), "left")
+      .join(inD, Seq("node_id"), "left")
+      .select(col("node_id"), col("canonical_name"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+  }
+
   /** Fuzzy entity linking (the profiled hot stage): deterministic noisy
     * surface forms (part names with the last character clipped; every 3rd
     * kept exact) linked back to the canonical part-name dictionary via
@@ -164,6 +181,7 @@ object SparkEntry {
     "kg_version_latest" -> (qVersionLatest _),
     "kg_components" -> (qComponents _),
     "kg_fuzzy_link" -> (qFuzzyLink _),
+    "kg_degrees" -> (qDegrees _),
   ) ++ OpsEntry.queries ++ RelEntry.queries
 
   // ---- DuckDB oracle (structural reconstruction; never parses text) ----
@@ -364,6 +382,14 @@ object SparkEntry {
         |GROUP BY entity""".stripMargin),
 
     "kg_components" -> componentsOracle,
+
+    "kg_degrees" -> withBase(
+      """SELECT n.node_id, n.canonical_name,
+        |       CAST(coalesce(o.c, 0) AS BIGINT) AS out_deg,
+        |       CAST(coalesce(i.c, 0) AS BIGINT) AS in_deg
+        |FROM nodes n
+        |LEFT JOIN (SELECT subj, count(*) AS c FROM triples GROUP BY subj) o ON o.subj = n.canonical_name
+        |LEFT JOIN (SELECT obj, count(*) AS c FROM triples GROUP BY obj) i ON i.obj = n.canonical_name""".stripMargin),
 
     "kg_fuzzy_link" ->
       """WITH pn AS (SELECT DISTINCT replace(p_name,' ','_') AS name FROM part),
