@@ -62,6 +62,12 @@ object ConnectedComponents {
       .filter(col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint()
+    // fixpoint test on a cheap order-insensitive checksum + count; the
+    // previous round's signature is carried forward (one aggregate per
+    // round, not two)
+    def sig(df: DataFrame) = df.agg(
+      count(lit(1)), expr("bit_xor(hash(src, dst))")).collect()(0)
+    var prevSig = sig(edges)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -70,12 +76,9 @@ object ConnectedComponents {
           greatest(col("src"), col("dst")).as("dst"))
         .distinct()
         .localCheckpoint()
-      // fixpoint test on a cheap order-insensitive checksum + count
-      val sig = next.agg(
-        count(lit(1)), sum(hash(col("src"), col("dst")).cast("long"))).collect()(0)
-      val oldSig = edges.agg(
-        count(lit(1)), sum(hash(col("src"), col("dst")).cast("long"))).collect()(0)
-      converged = sig == oldSig
+      val nextSig = sig(next)
+      converged = nextSig == prevSig
+      prevSig = nextSig
       edges = next
       iter += 1
     }

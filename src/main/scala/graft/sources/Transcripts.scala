@@ -88,35 +88,35 @@ object Transcripts {
       .join(broadcast(p), l("l_partkey") === p("p_partkey"))
       .join(broadcast(s), l("l_suppkey") === s("s_suppkey"))
 
-    val turnA = li.select(
-      concat(lit("c"), $"l_orderkey".cast("string")).as("conv_id"),
-      (k * 2 - 1).as("turn_idx"),
-      lit("assistant").as("role"),
-      concat(
-        lit("define entity "), pname, lit(" with qty="), qtyS,
-        lit(" ; define entity "), sname,
-        lit(" ; alias a"), kS, lit(" => "), pname).as("text"),
-      lit("").as("tool"),
-      $"l_shipdate".as("ts"))
+    val textA = concat(
+      lit("define entity "), pname, lit(" with qty="), qtyS,
+      lit(" ; define entity "), sname,
+      lit(" ; alias a"), kS, lit(" => "), pname)
+    val textB = concat(
+      lit("link "), sname, lit(" -[supplies]-> a"), kS,
+      lit(" ; link self -[ordered]-> a"), kS,
+      when(k % 3 === 0,
+        concat(lit(" ; link a"), kS, lit(" -[returned_to]-> "), sname))
+        .otherwise(lit("")),
+      when(k % 4 === 0,
+        concat(lit(" ; link self -[mentions]-> item:unknown_"),
+          $"l_partkey".cast("string")))
+        .otherwise(lit("")))
 
-    val turnB = li.select(
+    // both lineitem turns in ONE pass over the windowed join (inline of a
+    // 2-struct array) — a union of two selects would execute the
+    // row_number shuffle and the dimension joins twice
+    val turnsAB = li.select(
       concat(lit("c"), $"l_orderkey".cast("string")).as("conv_id"),
-      (k * 2).as("turn_idx"),
-      lit("tool").as("role"),
-      concat(
-        lit("link "), sname, lit(" -[supplies]-> a"), kS,
-        lit(" ; link self -[ordered]-> a"), kS,
-        when(k % 3 === 0,
-          concat(lit(" ; link a"), kS, lit(" -[returned_to]-> "), sname))
-          .otherwise(lit("")),
-        when(k % 4 === 0,
-          concat(lit(" ; link self -[mentions]-> item:unknown_"),
-            $"l_partkey".cast("string")))
-          .otherwise(lit(""))).as("text"),
-      lit("linker").as("tool"),
-      $"l_shipdate".as("ts"))
+      $"l_shipdate".as("ts"),
+      inline(array(
+        struct((k * 2 - 1).as("turn_idx"), lit("assistant").as("role"),
+          textA.as("text"), lit("").as("tool")),
+        struct((k * 2).as("turn_idx"), lit("tool").as("role"),
+          textB.as("text"), lit("linker").as("tool")))))
+      .select($"conv_id", $"turn_idx", $"role", $"text", $"tool", $"ts")
 
-    turn0.unionByName(turnA).unionByName(turnB)
+    turn0.unionByName(turnsAB)
   }
 
   /** DuckDB SQL producing exactly [[fromTpch]] (ts formatted as string
