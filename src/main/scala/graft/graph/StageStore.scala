@@ -2,7 +2,6 @@ package graft.graph
 
 import java.security.MessageDigest
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -24,14 +23,21 @@ import org.apache.spark.sql.functions._
   */
 object StageStore {
 
-  /** Bump when the grammar/derivation logic changes — stage tables are
-    * keyed by (input dir, logic version) so stale checkpoints never leak
-    * across code versions. */
-  val logicVersion = "v2"
-
   private def md5hex(s: String): String =
     MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
+
+  /** Content-derived logic fingerprint: the grammar regexes and the
+    * derivation's oracle SQL (which mirrors the derivation text exactly)
+    * change whenever the pipeline's semantics change, so stale stage
+    * checkpoints can never leak across code versions. Bump the manual
+    * prefix for semantic changes these strings don't capture. */
+  val logicVersion: String = md5hex(Seq(
+    "v3",
+    graft.extract.Extract.Grammar.defRe,
+    graft.extract.Extract.Grammar.aliasRe,
+    graft.extract.Extract.Grammar.linkRe,
+    graft.sources.Transcripts.fromTpchOracleSql).mkString("|")).take(8)
 
   def root: String = sys.props.getOrElse("graft.stage.dir",
     sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft_stages")
@@ -39,10 +45,8 @@ object StageStore {
   def baseFor(inputKey: String): String =
     s"$root/${md5hex(inputKey + "|" + logicVersion).take(16)}"
 
-  private def exists(spark: SparkSession, dir: String): Boolean = {
-    val p = new Path(dir, "_SUCCESS")
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-  }
+  /** Storage backend (parquet here; Iceberg on a cluster — see TableIO). */
+  val io: TableIO = ParquetTableIO
 
   /** Materialize `build` at `<base>/<stage>` unless already committed;
     * return a reader of the committed table. */
@@ -50,13 +54,13 @@ object StageStore {
       build: => DataFrame): DataFrame = {
     val base = baseFor(inputKey)
     val dir = s"$base/$stage"
-    if (!exists(spark, dir)) {
+    if (!io.exists(spark, dir)) {
       val t0 = System.nanoTime()
-      build.write.mode("overwrite").parquet(dir)
+      io.overwrite(build, dir)
       val wallMs = (System.nanoTime() - t0) / 1000000L
       commitObservability(spark, base, stage, dir, wallMs)
     }
-    spark.read.parquet(dir)
+    io.read(spark, dir)
   }
 
   /** Per-partition lineage + stage metrics for a committed stage table.
@@ -66,24 +70,25 @@ object StageStore {
   private def commitObservability(spark: SparkSession, base: String,
       stage: String, dir: String, wallMs: Long): Unit = {
     import spark.implicits._
-    val parts = spark.read.parquet(dir)
+    val parts = io.read(spark, dir)
       .groupBy(spark_partition_id().as("partition_id"))
       .agg(count(lit(1)).as("output_rows"))
       .collect().map(r => (stage, r.getInt(0), r.getLong(1), wallMs))
-    parts.toSeq.toDF("stage", "partition_id", "output_rows", "wall_ms")
-      .coalesce(1).write.mode("append").parquet(s"$base/_lineage")
+    io.append(parts.toSeq
+      .toDF("stage", "partition_id", "output_rows", "wall_ms").coalesce(1),
+      s"$base/_lineage")
     val rows = parts.map(_._3).sum
-    Seq(
+    val metrics = Seq(
       (stage, "output_rows", rows.toDouble),
       (stage, "wall_ms", wallMs.toDouble),
       (stage, "rows_per_sec", if (wallMs > 0) rows * 1000.0 / wallMs else 0.0))
       .toDF("stage", "name", "value")
-      .coalesce(1).write.mode("append").parquet(s"$base/_metrics")
+    io.append(metrics.coalesce(1), s"$base/_metrics")
   }
 
   def lineage(spark: SparkSession, inputKey: String): DataFrame =
-    spark.read.parquet(s"${baseFor(inputKey)}/_lineage")
+    io.read(spark, s"${baseFor(inputKey)}/_lineage")
 
   def metrics(spark: SparkSession, inputKey: String): DataFrame =
-    spark.read.parquet(s"${baseFor(inputKey)}/_metrics")
+    io.read(spark, s"${baseFor(inputKey)}/_metrics")
 }
