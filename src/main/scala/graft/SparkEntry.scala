@@ -149,6 +149,18 @@ object SparkEntry {
         coalesce(col("in_deg"), lit(0L)).as("in_deg"))
   }
 
+  /** Static question rows × node-type cross product (the reference's
+    * question_nodes × cluster pattern, knowledge_graph.py:1513-1532 /
+    * SURVEY J12): a small driver-side table crossed against a distinct
+    * projection of the graph. */
+  private def qQuestions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val questions = Seq((0L, "what"), (1L, "how"), (2L, "when"), (3L, "where"))
+      .toDF("q_id", "q_kind")
+    val types = graft.graph.Pipeline.nodes(s, dir).select("node_type").distinct()
+    questions.crossJoin(types)
+  }
+
   /** Fuzzy entity linking (the profiled hot stage): deterministic noisy
     * surface forms (part names with the last character clipped; every 3rd
     * kept exact) linked back to the canonical part-name dictionary via
@@ -182,6 +194,7 @@ object SparkEntry {
     "kg_components" -> (qComponents _),
     "kg_fuzzy_link" -> (qFuzzyLink _),
     "kg_degrees" -> (qDegrees _),
+    "kg_questions" -> (qQuestions _),
   ) ++ OpsEntry.queries ++ RelEntry.queries
 
   // ---- DuckDB oracle (structural reconstruction; never parses text) ----
@@ -382,6 +395,12 @@ object SparkEntry {
         |GROUP BY entity""".stripMargin),
 
     "kg_components" -> componentsOracle,
+
+    "kg_questions" -> withBase(
+      """SELECT q_id, q_kind, node_type FROM (
+        |  SELECT CAST(0 AS BIGINT) AS q_id, 'what' AS q_kind
+        |  UNION ALL SELECT 1, 'how' UNION ALL SELECT 2, 'when' UNION ALL SELECT 3, 'where'
+        |), (SELECT DISTINCT node_type FROM nodes)""".stripMargin),
 
     "kg_degrees" -> withBase(
       """SELECT n.node_id, n.canonical_name,

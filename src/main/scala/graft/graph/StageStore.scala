@@ -78,10 +78,19 @@ object StageStore {
       .toDF("stage", "partition_id", "output_rows", "wall_ms").coalesce(1),
       s"$base/_lineage")
     val rows = parts.map(_._3).sum
-    val metrics = Seq(
+    // entity/conversation cardinality estimate (SURVEY §2.6: metrics use
+    // approx_count_distinct — exact distinct would be a full shuffle)
+    val out = io.read(spark, dir)
+    val approx =
+      if (out.columns.contains("conv_id"))
+        Seq((stage, "approx_distinct_convs",
+          out.agg(approx_count_distinct("conv_id")).collect()(0).getLong(0).toDouble))
+      else Nil
+    val metrics = (Seq(
       (stage, "output_rows", rows.toDouble),
       (stage, "wall_ms", wallMs.toDouble),
       (stage, "rows_per_sec", if (wallMs > 0) rows * 1000.0 / wallMs else 0.0))
+      ++ approx)
       .toDF("stage", "name", "value")
     io.append(metrics.coalesce(1), s"$base/_metrics")
   }

@@ -51,7 +51,9 @@ class PipelineSpec extends SparkSpec {
       assert(maxParts >= 1)
       val met = StageStore.metrics(spark, sfDir)
       val names = met.select("name").distinct().collect().map(_.getString(0)).toSet
-      assert(names === Set("output_rows", "wall_ms", "rows_per_sec"))
+      assert(Set("output_rows", "wall_ms", "rows_per_sec").subsetOf(names))
+      assert(names.contains("approx_distinct_convs"),
+        "conv-bearing stages must record a cardinality estimate")
       // lineage row counts must equal the committed table counts
       val mentionsRows = lin.filter(col("stage") === "mentions")
         .agg(sum("output_rows")).collect()(0).getLong(0)
