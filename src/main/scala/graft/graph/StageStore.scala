@@ -27,17 +27,33 @@ object StageStore {
     MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
 
-  /** Content-derived logic fingerprint: the grammar regexes and the
-    * derivation's oracle SQL (which mirrors the derivation text exactly)
-    * change whenever the pipeline's semantics change, so stale stage
-    * checkpoints can never leak across code versions. Bump the manual
-    * prefix for semantic changes these strings don't capture. */
+  /** Newest modification time across all compiled graft classes (classes
+    * dir) or the containing jar's mtime (spark-submit). Any recompile
+    * invalidates the cache key below, so stale stage checkpoints cannot
+    * survive code changes to ANY stage's logic — not just the grammar.
+    * Resume still works across JVM runs of the same build. */
+  private def codeStamp: String = try {
+    val src = getClass.getProtectionDomain.getCodeSource.getLocation.toURI
+    val root = new java.io.File(src)
+    if (root.isDirectory) {
+      def newest(f: java.io.File): Long =
+        if (f.isDirectory) (0L +: f.listFiles().toSeq.map(newest)).max
+        else f.lastModified
+      val graftDir = new java.io.File(root, "graft")
+      newest(if (graftDir.exists) graftDir else root).toString
+    } else root.lastModified.toString // packaged jar
+  } catch { case _: Throwable => "unknown" }
+
+  /** Logic fingerprint for the stage-cache key: grammar + derivation text
+    * (semantic identity) plus the build stamp (catches changes those
+    * strings don't — e.g. resolver/versioning edits). */
   val logicVersion: String = md5hex(Seq(
     "v3",
     graft.extract.Extract.Grammar.defRe,
     graft.extract.Extract.Grammar.aliasRe,
     graft.extract.Extract.Grammar.linkRe,
-    graft.sources.Transcripts.fromTpchOracleSql).mkString("|")).take(8)
+    graft.sources.Transcripts.fromTpchOracleSql,
+    codeStamp).mkString("|")).take(8)
 
   def root: String = sys.props.getOrElse("graft.stage.dir",
     sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft_stages")

@@ -37,11 +37,14 @@ object FuzzyLink {
       array_min(transform(tg, t => md5(concat(lit(s"$s|"), t)))).as(s"m$s"))
     val withSig = df.select(col(nameCol) +: sigs: _*)
     val nBands = k / rowsPerBand
-    (0 until nBands).map { b =>
+    // single pass over the signatures (see Dedup.minhashBuckets)
+    val bandStructs = (0 until nBands).map { b =>
       val parts = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}"))
-      withSig.select(col(nameCol), lit(b).cast("long").as("band"),
-        md5(concat(parts: _*)).as("bucket"))
-    }.reduce(_ unionByName _)
+      struct(lit(b).cast("long").as("band"), md5(concat(parts: _*)).as("bucket"))
+    }
+    withSig
+      .select(col(nameCol), inline(array(bandStructs: _*)))
+      .select(col(nameCol), col("band"), col("bucket"))
   }
 
   /** Link surfaces to dictionary names.

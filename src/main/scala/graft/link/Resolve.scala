@@ -14,8 +14,8 @@ import org.apache.spark.sql.functions._
   * lookup semantics, package/adapters/CppAstAdapter.py:510-518), giving the
   * equally-total deterministic chain:
   *
-  *   1. `self`  -> the conversation's principal entity (first entity_def,
-  *                 analog of `self` -> enclosing class, call_graph.py:738)
+  *   1. `self`  -> the first entity definition at or before the use site
+  *                 (analog of `self` -> enclosing class, call_graph.py:738)
   *   2. `a<k>`  -> most recent alias binding at or before the use site
   *   3. else    -> identity (call_graph.py:748)
   *
@@ -40,30 +40,36 @@ object Resolve {
         col("conv_id"), col("turn_idx"), col("mention_idx"),
         col("subj").as("ref"), col("obj").as("target"))
 
-  /** Conversation principal: first entity_def by (turn_idx, mention_idx). */
-  def selfNames(mentions: DataFrame): DataFrame =
-    mentions
-      .filter(col("kind") === "entity_def")
-      .groupBy(col("conv_id"))
-      .agg(min_by(col("subj"), struct(col("turn_idx"), col("mention_idx")))
-        .as("self_name"))
-
   /** Resolve subj/obj of every relation mention. Output:
-    * conv_id, turn_idx, mention_idx, subj, pred, obj, ts (resolved). */
+    * conv_id, turn_idx, mention_idx, subj, pred, obj, ts (resolved).
+    *
+    * `self` and aliases ride the same event stream: entity_def mentions
+    * emit a binding event for the pseudo-ref "self"; self resolves to the
+    * FIRST definition at or before the use site (the enclosing-scope
+    * semantics — a def always precedes its uses in the reference's walk),
+    * aliases to the LATEST binding (shadowing). A use before any binding
+    * falls back to identity. This matches the streaming stateful resolver
+    * exactly, including out-of-grammar shapes like self-before-any-def. */
   def resolved(mentions: DataFrame): DataFrame = {
     val rels = mentions.filter(col("kind") === "relation")
 
-    // As-of alias resolution for both sides in one pass.
     val uses = rels
       .select(col("conv_id"), col("turn_idx"), col("mention_idx"),
         lit("s").as("side"), col("subj").as("ref"))
       .unionByName(rels.select(col("conv_id"), col("turn_idx"),
         col("mention_idx"), lit("o").as("side"), col("obj").as("ref")))
-      .filter(col("ref").rlike(aliasPat))
+      .filter(col("ref").rlike(aliasPat) || col("ref") === "self")
+
+    val selfBindings = mentions
+      .filter(col("kind") === "entity_def")
+      .select(col("conv_id"), lit("self").as("ref"), col("turn_idx"),
+        col("mention_idx"), lit(null).cast("string").as("side"),
+        col("subj").as("target"))
 
     val events = bindings(mentions)
       .select(col("conv_id"), col("ref"), col("turn_idx"), col("mention_idx"),
         lit(null).cast("string").as("side"), col("target"))
+      .unionByName(selfBindings)
       .unionByName(uses.select(col("conv_id"), col("ref"), col("turn_idx"),
         col("mention_idx"), col("side"), lit(null).cast("string").as("target")))
 
@@ -72,31 +78,27 @@ object Resolve {
       .orderBy("turn_idx", "mention_idx")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val aliasResolved = events
-      .withColumn("in_scope", last("target", ignoreNulls = true).over(w))
+    val refResolved = events
+      .withColumn("in_scope",
+        when(col("ref") === "self", first("target", ignoreNulls = true).over(w))
+          .otherwise(last("target", ignoreNulls = true).over(w)))
       .filter(col("side").isNotNull) // keep use events only
       .select(col("conv_id"), col("turn_idx"), col("mention_idx"), col("side"),
-        coalesce(col("in_scope"), col("ref")).as("alias_resolved"))
+        coalesce(col("in_scope"), col("ref")).as("resolved_ref"))
 
-    val subjA = aliasResolved.filter(col("side") === "s")
-      .withColumnRenamed("alias_resolved", "subj_alias").drop("side")
-    val objA = aliasResolved.filter(col("side") === "o")
-      .withColumnRenamed("alias_resolved", "obj_alias").drop("side")
-
-    def chain(ref: Column, aliasRes: Column): Column =
-      when(ref === "self", coalesce(col("self_name"), ref))
-        .when(ref.rlike(aliasPat), coalesce(aliasRes, ref))
-        .otherwise(ref)
+    val subjR = refResolved.filter(col("side") === "s")
+      .withColumnRenamed("resolved_ref", "subj_res").drop("side")
+    val objR = refResolved.filter(col("side") === "o")
+      .withColumnRenamed("resolved_ref", "obj_res").drop("side")
 
     rels
-      .join(selfNames(mentions), Seq("conv_id"), "left")
-      .join(subjA, Seq("conv_id", "turn_idx", "mention_idx"), "left")
-      .join(objA, Seq("conv_id", "turn_idx", "mention_idx"), "left")
+      .join(subjR, Seq("conv_id", "turn_idx", "mention_idx"), "left")
+      .join(objR, Seq("conv_id", "turn_idx", "mention_idx"), "left")
       .select(
         col("conv_id"), col("turn_idx"), col("mention_idx"),
-        chain(col("subj"), col("subj_alias")).as("subj"),
+        coalesce(col("subj_res"), col("subj")).as("subj"),
         col("pred"),
-        chain(col("obj"), col("obj_alias")).as("obj"),
+        coalesce(col("obj_res"), col("obj")).as("obj"),
         col("ts"))
   }
 }

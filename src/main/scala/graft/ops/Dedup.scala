@@ -46,13 +46,15 @@ object Dedup {
     val sigs = (0 until k).map(s => minhash(sh, s).as(s"m$s"))
     val withSig = docs.select(col(idCol) +: sigs: _*)
     val nBands = k / rowsPerBand
-    val bands = (0 until nBands).map { b =>
+    // one pass: a union of per-band selects would recompute the shingle +
+    // minhash subtree once per band (same trap Transcripts.fromTpch avoids)
+    val bandStructs = (0 until nBands).map { b =>
       val parts = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}"))
-      withSig.select(
-        col(idCol), lit(b).cast("long").as("band"),
-        md5(concat(parts: _*)).as("bucket"))
+      struct(lit(b).cast("long").as("band"), md5(concat(parts: _*)).as("bucket"))
     }
-    bands.reduce(_ unionByName _)
+    withSig
+      .select(col(idCol), inline(array(bandStructs: _*)))
+      .select(col(idCol), col("band"), col("bucket"))
   }
 
   /** Candidate near-dup pairs: same (band, bucket), a < b, deduped across
@@ -110,9 +112,11 @@ object Dedup {
     val common = a.join(b, Seq("blk", "w"))
       .filter(col("a") < col("b"))
       .groupBy("blk", "a", "b").agg(count(lit(1)).as("inter"))
+    // sizes has one row per document — unbounded; no broadcast hint (AQE
+    // picks broadcast only while it actually fits)
     val scored = common
-      .join(broadcast(sizes.select(col("id").as("a"), col("sz").as("sza"))), "a")
-      .join(broadcast(sizes.select(col("id").as("b"), col("sz").as("szb"))), "b")
+      .join(sizes.select(col("id").as("a"), col("sz").as("sza")), "a")
+      .join(sizes.select(col("id").as("b"), col("sz").as("szb")), "b")
       // scaled-integer score (parts-per-million): floating-point rounding
       // differs in the last ulp across engines, integers compare exactly
       .withColumn("jaccard_ppm",

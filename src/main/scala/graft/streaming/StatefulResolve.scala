@@ -14,8 +14,9 @@ import graft.schema.{Mention, ResolvedRelation}
   * so here the binding map IS the group state: per conv_id we hold the
   * alias map + the conversation principal, update them as turns arrive,
   * and emit resolved relations incrementally. Same precedence chain
-  * (self -> latest binding -> identity), same results as the batch path
-  * when events arrive in turn order (asserted by StatefulResolveSpec).
+  * (self -> first def in scope, alias -> latest binding, else identity),
+  * same results as the batch path when events arrive in turn order —
+  * including self-before-any-def (asserted by StatefulResolveSpec).
   *
   * Works on both streaming and batch Datasets (Spark executes
   * flatMapGroupsWithState with batch semantics on a static Dataset).

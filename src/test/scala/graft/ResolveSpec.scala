@@ -37,12 +37,22 @@ class ResolveSpec extends SparkSpec {
     assert(r === Set(Seq("c1", 1, 0, "a9", "uses", "t:x")))
   }
 
-  test("self resolves to the conversation principal (first entity_def)") {
+  test("self resolves to the first definition in scope") {
     val r = resolve(
       ("c1", 0, "define entity t:first"),
       ("c1", 1, "define entity t:second"),
       ("c1", 2, "link self -[mentions]-> t:second"))
     assert(r === Set(Seq("c1", 2, 0, "t:first", "mentions", "t:second")))
+  }
+
+  test("self before any definition falls back to identity (matches streaming)") {
+    val r = resolve(
+      ("c1", 0, "link self -[x]-> t:late"),
+      ("c1", 1, "define entity t:late"),
+      ("c1", 2, "link self -[y]-> t:late"))
+    assert(r === Set(
+      Seq("c1", 0, 0, "self", "x", "t:late"),
+      Seq("c1", 2, 0, "t:late", "y", "t:late")))
   }
 
   test("self with no definitions falls back to identity") {

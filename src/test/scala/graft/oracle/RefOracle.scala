@@ -23,15 +23,16 @@ object RefOracle {
     val raw = mutable.ListBuffer[(String, String, String)]()
     corpus.groupBy(_.convId).foreach { case (_, ts) =>
       val ordered = ts.sortBy(_.turnIdx)
-      // `self` is the conversation principal: the first entity_def in stable
-      // turn order (analog of self -> enclosing class, call_graph.py:738).
-      val self: Option[String] = ordered.iterator
-        .flatMap(_.text.split(" ; ", -1))
-        .collectFirst { case DefRe(name, _) => name }
+      // `self` = first entity_def seen SO FAR in the walk (enclosing-scope
+      // semantics: self -> enclosing class, call_graph.py:738 — a def always
+      // precedes its uses); before any def, self is unresolved -> identity.
+      var self: Option[String] = None
       val aliases = mutable.Map[String, String]()
       ordered.foreach { t =>
         t.text.split(" ; ", -1).foreach {
-          case DefRe(name, _) => defined += name
+          case DefRe(name, _) =>
+            defined += name
+            if (self.isEmpty) self = Some(name)
           case AliasRe(a, target) => aliases(a) = target
           case LinkRe(s, p, o) =>
             def res(r: String): String =
