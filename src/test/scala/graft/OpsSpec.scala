@@ -72,6 +72,26 @@ class OpsSpec extends SparkSpec {
     assert(b(0L).length === 8 && b(0L).forall(c => c == '0' || c == '1'))
   }
 
+  test("IVF: clustered vectors land in their cluster's cell; cell-probe finds the true neighbor") {
+    // two tight clusters around orthogonal directions; centroids = first 2 vectors
+    def v(axis: Int, eps: Float) =
+      (0 until 8).map(i => (if (i == axis) 1.0f else 0.0f) + (if (i == 7) eps else 0.0f)).toArray
+    val vecs = Seq(
+      (0L, v(0, 0f)), (1L, v(3, 0f)), // the codebook (cells 0 and 1)
+      (2L, v(0, 0.05f)), (3L, v(0, 0.08f)),
+      (4L, v(3, 0.05f)), (5L, v(3, 0.08f))).toDF("vec_id", "embedding")
+    val cells = Similarity.ivfAssign(vecs, nCells = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cells(2L) === 0L && cells(3L) === 0L)
+    assert(cells(4L) === 1L && cells(5L) === 1L)
+    val top = Similarity.ivfTopK(vecs, Similarity.ivfAssign(vecs, 2), nQueries = 6, k = 1)
+      .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    // within-cluster nearest neighbors, never cross-cluster
+    assert(top(2L) === 3L || top(2L) === 0L)
+    assert(Set(0L, 2L, 3L).contains(top(3L)))
+    assert(!Set(top(2L), top(3L)).exists(Set(1L, 4L, 5L).contains))
+  }
+
   test("lang id predicts the dictionary language") {
     val docs = Seq(
       (1L, "the cat is on the mat and the dog is here"),
