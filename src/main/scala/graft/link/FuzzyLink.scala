@@ -21,21 +21,30 @@ import org.apache.spark.sql.functions._
 object FuzzyLink {
 
   /** Character trigrams of a (short) name, padded so prefixes/suffixes
-    * count: "^ab", "abc", ..., "z$" — distinct set. */
+    * count: "^ab", "abc", ..., "z$" — distinct set. Empty names yield an
+    * empty set (Spark's `sequence(1, 0)` would otherwise produce a bogus
+    * descending range where the DuckDB oracle's `range()` is empty). */
   def charTrigramsCol(name: Column): Column = {
     val padded = concat(lit("^"), name, lit("$"))
-    array_distinct(transform(
-      sequence(lit(1), length(padded) - 2),
-      i => padded.substr(i, lit(3))))
+    when(length(name) >= 1,
+      array_distinct(transform(
+        sequence(lit(1), length(padded) - 2),
+        i => padded.substr(i, lit(3)))))
+      .otherwise(array().cast("array<string>"))
   }
 
-  /** MinHash band buckets over char trigrams (k seeds, rowsPerBand). */
+  /** MinHash band buckets over char trigrams (k seeds, rowsPerBand).
+    * Signatures via explode + groupBy-min aggregates (one shuffle,
+    * map-side combinable) — the corpus-scale shape of Dedup
+    * .minhashSignatures; names with no trigrams get no bucket (no
+    * candidates), which matches the oracle's empty-set semantics. */
   def nameBuckets(df: DataFrame, nameCol: String, k: Int = 8,
       rowsPerBand: Int = 2): DataFrame = {
-    val tg = charTrigramsCol(col(nameCol))
+    val tg = df.select(col(nameCol),
+      explode(charTrigramsCol(col(nameCol))).as("_tg"))
     val sigs = (0 until k).map(s =>
-      array_min(transform(tg, t => md5(concat(lit(s"$s|"), t)))).as(s"m$s"))
-    val withSig = df.select(col(nameCol) +: sigs: _*)
+      min(md5(concat(lit(s"$s|"), col("_tg")))).as(s"m$s"))
+    val withSig = tg.groupBy(col(nameCol)).agg(sigs.head, sigs.tail: _*)
     val nBands = k / rowsPerBand
     // single pass over the signatures (see Dedup.minhashBuckets)
     val bandStructs = (0 until nBands).map { b =>
