@@ -35,17 +35,24 @@ object Bench {
     val pipelineSec = (System.nanoTime() - p0) / 1e9
     val tps = nEdges / pipelineSec
 
+    // Full materialization per query: toRdd.count() forces every output
+    // column through codegen (a bare df.count() lets column pruning skip
+    // the expensive projections entirely — doc_fingerprint measured 0.2s
+    // pruned vs ~7s real). Failures are recorded, not swallowed.
+    var failed = List.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).queryExecution.toRdd.count() }
+      catch { case _: Throwable => failed ::= name }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.values.sum + pipelineSec
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
-        s""""pipeline_sec":$pipelineSec,"pipeline_edges":$nEdges,"triples_per_sec":$tps}""")
+        s""""pipeline_sec":$pipelineSec,"pipeline_edges":$nEdges,"triples_per_sec":$tps,"errors":$errs}""")
     spark.stop()
   }
 }

@@ -227,7 +227,7 @@ object SparkEntry {
       |),
       |nodes AS (
       |  SELECT split_part(canonical_name, ':', 1) AS node_type,
-      |         CAST(row_number() OVER (ORDER BY canonical_name) - 1 AS BIGINT) AS node_id,
+      |         CAST(row_number() OVER (ORDER BY substr(md5(canonical_name),1,2), canonical_name) - 1 AS BIGINT) AS node_id,
       |         canonical_name
       |  FROM names
       |),
@@ -247,7 +247,7 @@ object SparkEntry {
   private val componentsOracle =
     s"""WITH RECURSIVE $baseCtes,
       |minted AS (
-      |  SELECT CAST((SELECT count(*) FROM names) + row_number() OVER (ORDER BY canonical_name) - 1 AS BIGINT) AS node_id,
+      |  SELECT CAST((SELECT count(*) FROM names) + row_number() OVER (ORDER BY substr(md5(canonical_name),1,2), canonical_name) - 1 AS BIGINT) AS node_id,
       |         canonical_name
       |  FROM (SELECT DISTINCT 'item:unknown_'||pk AS canonical_name FROM li WHERE k % 4 = 0)
       |),
@@ -318,7 +318,7 @@ object SparkEntry {
 
     "kg_nodes_minted" -> withBase(
       """SELECT 'item' AS node_type,
-        |       CAST((SELECT count(*) FROM names) + row_number() OVER (ORDER BY canonical_name) - 1 AS BIGINT) AS node_id,
+        |       CAST((SELECT count(*) FROM names) + row_number() OVER (ORDER BY substr(md5(canonical_name),1,2), canonical_name) - 1 AS BIGINT) AS node_id,
         |       canonical_name
         |FROM (SELECT DISTINCT 'item:unknown_'||pk AS canonical_name FROM li WHERE k % 4 = 0)""".stripMargin),
 

@@ -15,34 +15,38 @@ import org.apache.spark.sql.functions._
   */
 object Canonical {
 
-  /** Dense 0..n-1 IDs ordered by the key column. Uses one global window —
-    * correct and simple because the input is the *distinct entity
-    * vocabulary*, not the mention stream; for vocabularies too large for a
-    * single partition, use [[denseIdsBucketed]]. */
+  /** Dense 0..n-1 IDs ordered by the key column via one global window.
+    * Test/debug helper ONLY — a no-partition window funnels the whole
+    * vocabulary through a single task; the pipeline uses
+    * [[denseIdsBucketed]]. */
   def denseIds(names: DataFrame, keyCol: String = "canonical_name",
       idCol: String = "node_id"): DataFrame =
     names.withColumn(idCol,
       (row_number().over(Window.orderBy(col(keyCol))) - 1).cast("long"))
 
   /** Scalable dense-ID assignment: two-phase with no global sort.
-    * Phase 1: deterministic bucket = xxhash64(key) mod B; per-bucket counts
-    * -> prefix offsets (B rows, collected + broadcast). Phase 2:
-    * row_number within bucket (ordered by key) + bucket offset.
+    * Phase 1: deterministic bucket = first `hexChars` hex chars of
+    * md5(key) (16^hexChars buckets); per-bucket counts -> prefix offsets
+    * (16^hexChars rows, collected + broadcast). Phase 2: row_number within
+    * bucket (ordered by key) + bucket offset.
+    *
     * IDs are dense, unique, and a pure function of the key set — stable
-    * across cluster sizes — at the cost of not being globally
-    * key-ordered (the reference's IDs were walk-ordered, so no contract is
-    * lost). */
+    * across cluster sizes. The resulting total order is exactly
+    * `ORDER BY substr(md5(key),1,hexChars), key`, which any SQL engine can
+    * reproduce — so the DuckDB oracle re-keys with that expression instead
+    * of needing Spark's hash. Sizing: each bucket sorts on one task, so
+    * pick hexChars with bucketRows = |vocab| / 16^hexChars comfortably in
+    * task memory (hexChars=3 -> 4096 buckets -> ~250k rows/bucket at 1B
+    * entities). */
   def denseIdsBucketed(names: DataFrame, keyCol: String = "canonical_name",
-      idCol: String = "node_id", buckets: Int = 256): DataFrame = {
+      idCol: String = "node_id", hexChars: Int = 2): DataFrame = {
     val spark = names.sparkSession
     val withB = names.withColumn("_b",
-      pmod(xxhash64(col(keyCol)), lit(buckets.toLong)))
+      substring(md5(col(keyCol)), 1, hexChars))
     val counts = withB.groupBy("_b").count().collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
-    val offsets = counts.scanLeft(0L)(_ + _._2).zip(counts.map(_._1))
-      .map { case (off, b) => b -> off }.toMap
-    val offsetsDf = spark.createDataFrame(
-      offsets.toSeq.map { case (b, off) => (b, off) }).toDF("_b", "_off")
+      .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.map(_._1).zip(counts.scanLeft(0L)(_ + _._2))
+    val offsetsDf = spark.createDataFrame(offsets.toSeq).toDF("_b", "_off")
     val w = Window.partitionBy("_b").orderBy(keyCol)
     withB
       .join(broadcast(offsetsDf), Seq("_b"))
@@ -54,7 +58,7 @@ object Canonical {
     * node_type is the name's namespace prefix (the Neo4j label analog,
     * package/knowledge_graph.py:561-570). */
   def nodes(entityNames: DataFrame): DataFrame =
-    denseIds(entityNames)
+    denseIdsBucketed(entityNames)
       .select(
         split_part(col("canonical_name"), lit(":"), lit(1)).as("node_type"),
         col("node_id"),
@@ -66,7 +70,7 @@ object Canonical {
   def mintedNodes(knownNodes: DataFrame, mintedNames: DataFrame): DataFrame = {
     val offset = knownNodes.agg(
       coalesce(max(col("node_id")) + 1, lit(0L)).as("_off"))
-    denseIds(mintedNames)
+    denseIdsBucketed(mintedNames)
       .crossJoin(broadcast(offset))
       .select(
         split_part(col("canonical_name"), lit(":"), lit(1)).as("node_type"),

@@ -16,7 +16,7 @@ class CanonicalSpec extends SparkSpec {
   test("denseIdsBucketed: bijection onto 0..n-1, stable across parallelism") {
     val names = (0 until 500).map(i => s"name_$i").toDF("canonical_name")
     def run(parts: Int) = Canonical
-      .denseIdsBucketed(names.repartition(parts), buckets = 16)
+      .denseIdsBucketed(names.repartition(parts), hexChars = 1)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val a = run(1)
     val b = run(8)
@@ -24,11 +24,24 @@ class CanonicalSpec extends SparkSpec {
     assert(a.values.toSeq.sorted === (0L until 500L))
   }
 
+  test("denseIdsBucketed order is exactly (md5-prefix, key) — the oracle's re-key") {
+    val names = (0 until 100).map(i => s"n$i").toDF("canonical_name")
+    val got = Canonical.denseIdsBucketed(names)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    def bkt(s: String) = md5.digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(2)
+    val expected = (0 until 100).map(i => s"n$i")
+      .sortBy(n => (bkt(n), n)).zipWithIndex.map { case (n, i) => n -> i.toLong }.toMap
+    assert(got === expected)
+  }
+
   test("mintedNodes continue densely after known nodes") {
     val known = Canonical.nodes(Seq("t:a", "t:b").toDF("canonical_name"))
     val minted = Canonical.mintedNodes(known, Seq("x:new2", "x:new1").toDF("canonical_name"))
     val rows = minted.collect().map(r => (r.getString(2), r.getLong(1))).toMap
-    assert(rows === Map("x:new1" -> 2L, "x:new2" -> 3L))
+    assert(rows.values.toSet === Set(2L, 3L), "minted IDs continue after known max")
+    assert(rows.keySet === Set("x:new1", "x:new2"))
     assert(minted.select("node_type").distinct().as[String].collect().toSet === Set("x"))
   }
 
