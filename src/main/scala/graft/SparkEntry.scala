@@ -119,16 +119,19 @@ object SparkEntry {
       .distinct()
     val allNodes = qNodes(s, dir).unionByName(qNodesMinted(s, dir))
       .select(col("canonical_name"), col("node_id"))
-    val edges = corefs
-      .join(broadcast(allNodes.withColumnRenamed("canonical_name", "subj")
-        .withColumnRenamed("node_id", "src")), Seq("subj"))
-      .join(broadcast(allNodes.withColumnRenamed("canonical_name", "obj")
-        .withColumnRenamed("node_id", "dst")), Seq("obj"))
+    // node table scales with the corpus: size-gated joins (broadcast while
+    // small, salted shuffle join above the gate — Joins.innerSkewSafe)
+    val withSrc = graft.canonical.Joins.innerSkewSafe(
+      corefs, allNodes.withColumnRenamed("canonical_name", "subj")
+        .withColumnRenamed("node_id", "src"), "subj", saltFrom = Seq("obj"))
+    val edges = graft.canonical.Joins.innerSkewSafe(
+      withSrc, allNodes.withColumnRenamed("canonical_name", "obj")
+        .withColumnRenamed("node_id", "dst"), "obj", saltFrom = Seq("subj"))
       .select(col("src"), col("dst"))
     val verts = edges.select(col("src").as("id"))
       .union(edges.select(col("dst").as("id"))).distinct()
     ConnectedComponents.runWithNodes(verts, edges)
-      .join(broadcast(allNodes), col("id") === col("node_id"))
+      .join(graft.canonical.Joins.dim(allNodes), col("id") === col("node_id"))
       .select(col("node_id"), col("canonical_name"), col("component"))
   }
 

@@ -79,18 +79,20 @@ object Canonical {
   }
 
   /** FK remap: triples (subj, pred, obj, ...) -> edge rows with dense IDs,
-    * via two broadcast joins against the node table
-    * (package/hierarchical_graph.py:334-339). */
+    * via two size-gated joins against the node table
+    * (package/hierarchical_graph.py:334-339): broadcast while the node
+    * table fits, salted shuffle join (hot canonical names spread across
+    * salt reducers) once it outgrows the gate. */
   def edges(triples: DataFrame, nodes: DataFrame): DataFrame = {
-    val src = broadcast(nodes.select(
+    val src = nodes.select(
       col("canonical_name").as("subj"),
-      col("node_type").as("src_type"), col("node_id").as("src_id")))
-    val dst = broadcast(nodes.select(
+      col("node_type").as("src_type"), col("node_id").as("src_id"))
+    val dst = nodes.select(
       col("canonical_name").as("obj"),
-      col("node_type").as("dst_type"), col("node_id").as("dst_id")))
-    triples
-      .join(src, Seq("subj"))
-      .join(dst, Seq("obj"))
+      col("node_type").as("dst_type"), col("node_id").as("dst_id"))
+    val saltFrom = Seq("conv_id", "turn_idx", "mention_idx")
+    val withSrc = Joins.innerSkewSafe(triples, src, "subj", saltFrom)
+    Joins.innerSkewSafe(withSrc, dst, "obj", saltFrom)
       .select(
         col("pred").as("edge_type"),
         col("src_type"), col("src_id"),

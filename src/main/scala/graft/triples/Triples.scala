@@ -27,17 +27,19 @@ object Triples {
 
   /** Keep resolved relations whose object is a defined entity
     * (subjects always resolve to defined entities in this grammar, as in
-    * the reference where the caller context is always a repo function). */
+    * the reference where the caller context is always a repo function).
+    * Size-gated: broadcast while the vocabulary fits, salted shuffle semi
+    * join (hot objects spread over salt reducers) above the gate. */
   def knownOnly(resolved: DataFrame, entities: DataFrame): DataFrame =
-    resolved.join(
-      broadcast(entities.withColumnRenamed("canonical_name", "obj")),
-      Seq("obj"), "left_semi")
+    graft.canonical.Joins.semiSkewSafe(
+      resolved, entities.withColumnRenamed("canonical_name", "obj"),
+      "obj", saltFrom = Seq("conv_id", "turn_idx", "mention_idx"))
 
   /** Names that must be minted when keeping unknown-object triples:
-    * distinct resolved object names with no entity definition. */
+    * distinct resolved object names with no entity definition. Left side
+    * is distinct-per-key (no skew) — gate the broadcast hint only. */
   def mintedNames(resolved: DataFrame, entities: DataFrame): DataFrame =
-    resolved
-      .select(col("obj").as("canonical_name"))
-      .distinct()
-      .join(broadcast(entities), Seq("canonical_name"), "left_anti")
+    graft.canonical.Joins.antiDistinct(
+      resolved.select(col("obj").as("canonical_name")).distinct(),
+      entities, "canonical_name")
 }

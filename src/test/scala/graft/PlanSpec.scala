@@ -64,6 +64,42 @@ class PlanSpec extends SparkSpec {
       s"extraction should stay inside codegen (no UDF barriers):\n${p.take(1200)}")
   }
 
+  test("broadcast gate: salted shuffle path engages above the gate and equals the broadcast path") {
+    import spark.implicits._
+    // hot-key fixture: one key carries 90% of the stream
+    val stream = (0 until 2000).map { i =>
+      (if (i % 10 == 0) s"k$i" else "hot", s"c${i % 7}", i % 13, i)
+    }.toDF("obj", "conv_id", "turn_idx", "mention_idx")
+    val dict = (Seq("hot") ++ (0 until 2000 by 20).map(i => s"k$i")).toDF("obj")
+
+    val viaBroadcast = graft.canonical.Joins
+      .semiSkewSafe(stream, dict, "obj", Seq("conv_id", "turn_idx"))
+    assert(plan(viaBroadcast).contains("BroadcastExchange"),
+      "small dictionary must broadcast")
+
+    val key = "graft.broadcast.maxBytes"
+    sys.props(key) = "1" // force the over-the-gate path
+    try {
+      val viaSalt = graft.canonical.Joins
+        .semiSkewSafe(stream, dict, "obj", Seq("conv_id", "turn_idx"))
+      // the salt key in the join condition is the salted path's signature
+      // (xxhash64 itself may be constant-folded into a LocalTableScan)
+      assert(plan(viaSalt).contains("_salt"),
+        s"salted path must engage above the gate:\n${plan(viaSalt).take(1500)}")
+      val a = viaBroadcast.collect().map(_.toSeq).toSet
+      val b = viaSalt.collect().map(_.toSeq).toSet
+      assert(a === b, "salted and broadcast paths must agree")
+      // edge remap takes the salted path too, and stays correct
+      val nodes = graft.canonical.Canonical.nodes(
+        Seq("t:a", "t:b", "t:c").toDF("canonical_name"))
+      val triples = Seq(("t:a", "uses", "t:b", "c1", 1, 0), ("t:c", "uses", "t:a", "c1", 2, 0))
+        .toDF("subj", "pred", "obj", "conv_id", "turn_idx", "mention_idx")
+      val e = graft.canonical.Canonical.edges(triples, nodes)
+      assert(plan(e).contains("_salt"))
+      assert(e.count() === 2L)
+    } finally sys.props.remove(key)
+  }
+
   test("brute-force ANN broadcasts the query side") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val p = plan(graft.ops.Similarity.bruteForceTopK(e, 5, 3))
