@@ -64,9 +64,10 @@ object ConnectedComponents {
       .localCheckpoint()
     // fixpoint test on a cheap order-insensitive checksum + count; the
     // previous round's signature is carried forward (one aggregate per
-    // round, not two)
+    // round, not two). 64-bit xxhash64 keeps collision odds (a premature
+    // "converged") negligible.
     def sig(df: DataFrame) = df.agg(
-      count(lit(1)), expr("bit_xor(hash(src, dst))")).collect()(0)
+      count(lit(1)), expr("bit_xor(xxhash64(src, dst))")).collect()(0)
     var prevSig = sig(edges)
     var converged = false
     var iter = 0
@@ -82,6 +83,11 @@ object ConnectedComponents {
       edges = next
       iter += 1
     }
+    // Star contraction converges in O(log n) rounds; hitting the cap means
+    // component labels may still be wrong — fail loudly, never silently.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIter iterations")
     // After convergence every edge is (member -> component min); add the
     // representative itself and any isolated nodes are the caller's concern
     // (they form singleton components).

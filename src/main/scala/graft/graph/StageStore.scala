@@ -58,8 +58,24 @@ object StageStore {
   def root: String = sys.props.getOrElse("graft.stage.dir",
     sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft_stages")
 
+  /** Fingerprint of the input data itself (name+mtime+size of every file
+    * under the corpus dir, one level of recursion for parquet
+    * directories). Regenerating the parquet at the same path invalidates
+    * the stage cache — without this, getOrCreate would silently serve
+    * stage tables computed from the OLD data. */
+  private def inputStamp(inputKey: String): String = try {
+    val d = new java.io.File(inputKey)
+    if (!d.isDirectory) s"${d.lastModified}:${d.length}"
+    else d.listFiles().sortBy(_.getName).map { f =>
+      val sz = if (f.isDirectory) f.listFiles().map(_.length).sum else f.length
+      val mt = if (f.isDirectory) (f.lastModified +: f.listFiles().map(_.lastModified)).max
+               else f.lastModified
+      s"${f.getName}:$mt:$sz"
+    }.mkString(",")
+  } catch { case _: Throwable => "unknown" }
+
   def baseFor(inputKey: String): String =
-    s"$root/${md5hex(inputKey + "|" + logicVersion).take(16)}"
+    s"$root/${md5hex(inputKey + "|" + inputStamp(inputKey) + "|" + logicVersion).take(16)}"
 
   /** Storage backend (parquet here; Iceberg on a cluster — see TableIO). */
   val io: TableIO = ParquetTableIO

@@ -68,11 +68,11 @@ case class Edge(
     conv_id: String,
     turn_idx: Int)
 
-/** Per-stage, per-partition lineage row (north-rule requirement). */
+/** Per-stage, per-partition lineage row (north-rule requirement);
+  * matches the columns StageStore.commitObservability persists. */
 case class Lineage(
     stage: String,
     partition_id: Int,
-    input_rows: Long,
     output_rows: Long,
     wall_ms: Long)
 
