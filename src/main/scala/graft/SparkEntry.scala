@@ -50,7 +50,8 @@ object SparkEntry {
   private def qMentions(s: SparkSession, dir: String): DataFrame =
     mentionsOf(s, dir).select(
       col("conv_id"), long("turn_idx"), long("mention_idx"),
-      col("kind"), col("subj"), col("pred"), col("obj"), col("attr"))
+      col("kind"), col("subj"), col("pred"), col("obj"), col("attr"),
+      col("parent"))
 
   private def qBindings(s: SparkSession, dir: String): DataFrame =
     Resolve.bindings(mentionsOf(s, dir)).select(
@@ -179,6 +180,64 @@ object SparkEntry {
     graft.link.FuzzyLink.link(surfaces, dict)
   }
 
+  /** Container/inheritance edges (reference class_class_edges
+    * 'inherits_from' + the reverse 'contains' direction,
+    * knowledge_graph.py:1122-1197): distinct (child, parent) pairs from
+    * `extends` clauses, remapped to dense node IDs with size-gated joins. */
+  private def qContainment(s: SparkSession, dir: String): DataFrame = {
+    val pairs = mentionsOf(s, dir)
+      .filter(col("kind") === "entity_def" && col("parent") =!= "")
+      .select(col("subj").as("child"), col("parent"))
+      .distinct()
+    val n = graft.graph.Pipeline.nodes(s, dir)
+    val withChild = graft.canonical.Joins.innerSkewSafe(pairs,
+      n.select(col("canonical_name").as("child"), col("node_id").as("child_id")),
+      "child", saltFrom = Seq("parent"))
+    val both = graft.canonical.Joins.innerSkewSafe(withChild,
+      n.select(col("canonical_name").as("parent"), col("node_id").as("parent_id")),
+      "parent", saltFrom = Seq("child"))
+    both.select(
+      lit("inherits_from").as("edge_type"),
+      col("child_id").as("src_id"), col("parent_id").as("dst_id"),
+      col("child").as("src_name"), col("parent").as("dst_name"))
+      .unionByName(both.select(
+        lit("contains").as("edge_type"),
+        col("parent_id").as("src_id"), col("child_id").as("dst_id"),
+        col("parent").as("src_name"), col("child").as("dst_name")))
+  }
+
+  /** Side-table linking (reference issue_function_edges,
+    * knowledge_graph.py:1282-1351): extract `ref #N` cross-references from
+    * transcript text (regexp_extract_all -> explode), validate membership
+    * against the issues side table, attach to the entity ordered in the
+    * same turn, dedupe. */
+  private def qIssueEdges(s: SparkSession, dir: String): DataFrame = {
+    val refs = Transcripts.fromTpch(s, dir).select(
+      col("conv_id"), col("turn_idx").cast("long").as("turn_idx"),
+      explode(regexp_extract_all(col("text"), lit("ref #([0-9]+)"), lit(1))).as("r"))
+      .select(col("conv_id"), col("turn_idx"), col("r").cast("long").as("issue_id"))
+    // issues side table: deterministic derivation from `part` (analog of
+    // the reference's scraped issues parquet); ids >= 997 in the text have
+    // no issue row -> dropped by the validated-membership join
+    val issues = s.read.parquet(s"$dir/part.parquet")
+      .select((col("p_partkey") % 997).cast("long").as("issue_id")).distinct()
+      .withColumn("state",
+        element_at(array(lit("open"), lit("closed"), lit("merged")),
+          (col("issue_id") % 3 + 1).cast("int")))
+    val valid = refs.join(graft.canonical.Joins.dim(issues), Seq("issue_id"))
+    val ordered = graft.graph.Pipeline.triples(s, dir)
+      .filter(col("pred") === "ordered")
+      .select(col("conv_id"), col("turn_idx").cast("long").as("turn_idx"),
+        col("obj").as("canonical_name"))
+    val linked = valid.join(ordered, Seq("conv_id", "turn_idx"))
+    val n = graft.graph.Pipeline.nodes(s, dir)
+      .select(col("canonical_name"), col("node_id"))
+    graft.canonical.Joins
+      .innerSkewSafe(linked, n, "canonical_name", saltFrom = Seq("conv_id"))
+      .select(col("issue_id"), col("state"), col("node_id"), col("canonical_name"))
+      .distinct()
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kg_transcripts" -> (qTranscripts _),
@@ -198,6 +257,8 @@ object SparkEntry {
     "kg_fuzzy_link" -> (qFuzzyLink _),
     "kg_degrees" -> (qDegrees _),
     "kg_questions" -> (qQuestions _),
+    "kg_containment" -> (qContainment _),
+    "kg_issue_edges" -> (qIssueEdges _),
   ) ++ OpsEntry.queries ++ RelEntry.queries
 
   // ---- DuckDB oracle (structural reconstruction; never parses text) ----
@@ -209,6 +270,7 @@ object SparkEntry {
       |  SELECT 'c'||l_orderkey AS conv_id, ${Transcripts.lineSeqSql} AS k,
       |         'part:'||replace(p_name,' ','_') AS pname,
       |         'supplier:'||s_name AS sname,
+      |         'category:'||regexp_replace(p_brand, '[ #]', '_', 'g') AS cat,
       |         CAST(CAST(ROUND(l_quantity*100) AS BIGINT) AS VARCHAR) AS qty,
       |         l_partkey AS pk, l_shipdate
       |  FROM lineitem
@@ -226,6 +288,7 @@ object SparkEntry {
       |    SELECT cust AS canonical_name FROM oc
       |    UNION ALL SELECT pname FROM li
       |    UNION ALL SELECT sname FROM li
+      |    UNION ALL SELECT cat FROM li
       |  )
       |),
       |nodes AS (
@@ -290,15 +353,15 @@ object SparkEntry {
     "kg_mentions" -> withBase(
       """SELECT 'c'||o_orderkey AS conv_id, CAST(0 AS BIGINT) AS turn_idx,
         |       CAST(1 AS BIGINT) AS mention_idx, 'entity_def' AS kind,
-        |       'customer:'||replace(c_name,' ','_') AS subj, '' AS pred, '' AS obj, '' AS attr
+        |       'customer:'||replace(c_name,' ','_') AS subj, '' AS pred, '' AS obj, '' AS attr, '' AS parent
         |FROM orders JOIN customer ON o_custkey = c_custkey
-        |UNION ALL SELECT conv_id, CAST(2*k-1 AS BIGINT), CAST(0 AS BIGINT), 'entity_def', pname, '', '', qty FROM li
-        |UNION ALL SELECT conv_id, CAST(2*k-1 AS BIGINT), CAST(1 AS BIGINT), 'entity_def', sname, '', '', '' FROM li
-        |UNION ALL SELECT conv_id, CAST(2*k-1 AS BIGINT), CAST(2 AS BIGINT), 'alias_binding', 'a'||k, '', pname, '' FROM li
-        |UNION ALL SELECT conv_id, CAST(2*k AS BIGINT), CAST(0 AS BIGINT), 'relation', sname, 'supplies', 'a'||k, '' FROM li
-        |UNION ALL SELECT conv_id, CAST(2*k AS BIGINT), CAST(1 AS BIGINT), 'relation', 'self', 'ordered', 'a'||k, '' FROM li
-        |UNION ALL SELECT conv_id, CAST(2*k AS BIGINT), CAST(2 AS BIGINT), 'relation', 'a'||k, 'returned_to', sname, '' FROM li WHERE k % 3 = 0
-        |UNION ALL SELECT conv_id, CAST(2*k AS BIGINT), CAST(2 + CASE WHEN k % 3 = 0 THEN 1 ELSE 0 END AS BIGINT), 'relation', 'self', 'mentions', 'item:unknown_'||pk, '' FROM li WHERE k % 4 = 0
+        |UNION ALL SELECT conv_id, CAST(2*k-1 AS BIGINT), CAST(0 AS BIGINT), 'entity_def', pname, '', '', qty, cat FROM li
+        |UNION ALL SELECT conv_id, CAST(2*k-1 AS BIGINT), CAST(1 AS BIGINT), 'entity_def', sname, '', '', '', '' FROM li
+        |UNION ALL SELECT conv_id, CAST(2*k-1 AS BIGINT), CAST(2 AS BIGINT), 'alias_binding', 'a'||k, '', pname, '', '' FROM li
+        |UNION ALL SELECT conv_id, CAST(2*k AS BIGINT), CAST(0 AS BIGINT), 'relation', sname, 'supplies', 'a'||k, '', '' FROM li
+        |UNION ALL SELECT conv_id, CAST(2*k AS BIGINT), CAST(1 AS BIGINT), 'relation', 'self', 'ordered', 'a'||k, '', '' FROM li
+        |UNION ALL SELECT conv_id, CAST(2*k AS BIGINT), CAST(2 AS BIGINT), 'relation', 'a'||k, 'returned_to', sname, '', '' FROM li WHERE k % 3 = 0
+        |UNION ALL SELECT conv_id, CAST(2*k AS BIGINT), CAST(2 + CASE WHEN k % 3 = 0 THEN 1 ELSE 0 END AS BIGINT), 'relation', 'self', 'mentions', 'item:unknown_'||pk, '', '' FROM li WHERE k % 4 = 0
         |""".stripMargin),
 
     "kg_bindings" -> withBase(
@@ -398,6 +461,30 @@ object SparkEntry {
         |GROUP BY entity""".stripMargin),
 
     "kg_components" -> componentsOracle,
+
+    "kg_containment" -> withBase(
+      """, pairs AS (SELECT DISTINCT pname AS child, cat AS parent FROM li),
+        |j AS (
+        |  SELECT p.child, p.parent, nc.node_id AS child_id, np.node_id AS parent_id
+        |  FROM pairs p
+        |  JOIN nodes nc ON p.child = nc.canonical_name
+        |  JOIN nodes np ON p.parent = np.canonical_name
+        |)
+        |SELECT 'inherits_from' AS edge_type, child_id AS src_id, parent_id AS dst_id,
+        |       child AS src_name, parent AS dst_name FROM j
+        |UNION ALL
+        |SELECT 'contains', parent_id, child_id, parent, child FROM j""".stripMargin),
+
+    "kg_issue_edges" -> withBase(
+      """, refs AS (SELECT conv_id, CAST(2*k AS BIGINT) AS turn_idx,
+        |                CAST(pk % 1500 AS BIGINT) AS issue_id, pname
+        |         FROM li WHERE k % 5 = 0),
+        |iss AS (SELECT DISTINCT CAST(p_partkey % 997 AS BIGINT) AS issue_id FROM part),
+        |valid AS (SELECT r.issue_id, r.pname FROM refs r JOIN iss ON r.issue_id = iss.issue_id)
+        |SELECT DISTINCT v.issue_id,
+        |       CASE CAST(v.issue_id % 3 AS INT) WHEN 0 THEN 'open' WHEN 1 THEN 'closed' ELSE 'merged' END AS state,
+        |       n.node_id, n.canonical_name
+        |FROM valid v JOIN nodes n ON v.pname = n.canonical_name""".stripMargin),
 
     "kg_questions" -> withBase(
       """SELECT q_id, q_kind, node_type FROM (

@@ -24,7 +24,9 @@ object Extract {
   object Grammar {
     val name = "[A-Za-z]+:[A-Za-z0-9_#]+"
     val ref = s"(?:self|a[0-9]+|$name)"
-    val defRe = s"^define entity ($name)(?: with qty=([0-9]+))?$$"
+    // `extends <parent>` = container/inheritance clause (reference
+    // class_class_edges 'inherits_from', knowledge_graph.py:1122-1197)
+    val defRe = s"^define entity ($name)(?: with qty=([0-9]+))?(?: extends ($name))?$$"
     val aliasRe = s"^alias (a[0-9]+) => ($name)$$"
     val linkRe = s"^link ($ref) -\\[([a-z_]+)\\]-> ($ref)$$"
     val segmentSep = " ; "
@@ -63,6 +65,8 @@ object Extract {
           .otherwise(lit("")).as("obj"),
         when(isDef, regexp_extract(col("seg"), defRe, 2))
           .otherwise(lit("")).as("attr"),
+        when(isDef, regexp_extract(col("seg"), defRe, 3))
+          .otherwise(lit("")).as("parent"),
         col("ts"))
   }
 

@@ -40,7 +40,8 @@ case class Mention(
     pred: String, // relation: predicate; else ""
     obj: String, // alias_binding: target name; relation: object ref; else ""
     attr: String, // entity_def: state payload (version-chain input); else ""
-    ts: Timestamp)
+    ts: Timestamp,
+    parent: String = "") // entity_def: container/base entity (extends); else ""
 
 /** A relation mention with both endpoints resolved to canonical names
   * (the output of the precedence-chain resolver, reference

@@ -58,6 +58,9 @@ object Transcripts {
     val cname = concat(lit("customer:"), regexp_replace($"c_name", " ", "_"))
     val pname = concat(lit("part:"), regexp_replace($"p_name", " ", "_"))
     val sname = concat(lit("supplier:"), $"s_name")
+    // container entity: the part's manufacturer ('#' normalized away so the
+    // issue-ref pattern 'ref #N' stays unambiguous)
+    val catname = concat(lit("category:"), regexp_replace($"p_brand", "[ #]", "_"))
     // The generated lineitem does NOT keep (l_orderkey, l_linenumber)
     // unique, so the per-conversation line sequence is a row_number over a
     // total order of the full natural key (deterministic at any
@@ -90,6 +93,7 @@ object Transcripts {
 
     val textA = concat(
       lit("define entity "), pname, lit(" with qty="), qtyS,
+      lit(" extends "), catname,
       lit(" ; define entity "), sname,
       lit(" ; alias a"), kS, lit(" => "), pname)
     val textB = concat(
@@ -101,6 +105,11 @@ object Transcripts {
       when(k % 4 === 0,
         concat(lit(" ; link self -[mentions]-> item:unknown_"),
           $"l_partkey".cast("string")))
+        .otherwise(lit("")),
+      // issue cross-reference (narration segment: the grammar ignores it,
+      // the side-table linker extracts it with regexp_extract_all)
+      when(k % 5 === 0,
+        concat(lit(" ; ref #"), ($"l_partkey" % 1500).cast("string")))
         .otherwise(lit("")))
 
     // both lineitem turns in ONE pass over the windowed join (inline of a
@@ -136,6 +145,7 @@ object Transcripts {
     s"""WITH li AS (
   SELECT 'c'||l_orderkey AS conv_id, $lineSeqSql AS k,
          $pname AS pname, $sname AS sname, $qty AS qty,
+         'category:'||regexp_replace(p_brand, '[ #]', '_', 'g') AS cat,
          l_partkey AS pk, l_shipdate
   FROM lineitem
   JOIN part ON l_partkey = p_partkey
@@ -148,14 +158,15 @@ SELECT 'c'||o_orderkey AS conv_id, CAST(0 AS BIGINT) AS turn_idx,
 FROM orders JOIN customer ON o_custkey = c_custkey
 UNION ALL
 SELECT conv_id, CAST(k*2-1 AS BIGINT), 'assistant',
-       'define entity '||pname||' with qty='||qty||' ; define entity '||sname||' ; alias a'||k||' => '||pname,
+       'define entity '||pname||' with qty='||qty||' extends '||cat||' ; define entity '||sname||' ; alias a'||k||' => '||pname,
        '', strftime(l_shipdate,'%Y-%m-%d %H:%M:%S')
 FROM li
 UNION ALL
 SELECT conv_id, CAST(k*2 AS BIGINT), 'tool',
        'link '||sname||' -[supplies]-> a'||k||' ; link self -[ordered]-> a'||k ||
          CASE WHEN k % 3 = 0 THEN ' ; link a'||k||' -[returned_to]-> '||sname ELSE '' END ||
-         CASE WHEN k % 4 = 0 THEN ' ; link self -[mentions]-> item:unknown_'||pk ELSE '' END,
+         CASE WHEN k % 4 = 0 THEN ' ; link self -[mentions]-> item:unknown_'||pk ELSE '' END ||
+         CASE WHEN k % 5 = 0 THEN ' ; ref #'||(pk % 1500) ELSE '' END,
        'linker', strftime(l_shipdate,'%Y-%m-%d %H:%M:%S')
 FROM li"""
   }

@@ -18,11 +18,16 @@ import org.apache.spark.sql.functions._
   */
 object Triples {
 
-  /** Distinct defined entity names. */
+  /** Distinct defined entity names. Container entities referenced by an
+    * `extends` clause are part of the vocabulary too (reference: class
+    * nodes exist for every base class, knowledge_graph.py:1122-1197). */
   def entityNames(mentions: DataFrame): DataFrame =
     mentions
       .filter(col("kind") === "entity_def")
       .select(col("subj").as("canonical_name"))
+      .unionAll(mentions
+        .filter(col("kind") === "entity_def" && col("parent") =!= "")
+        .select(col("parent").as("canonical_name")))
       .distinct()
 
   /** Keep resolved relations whose object is a defined entity

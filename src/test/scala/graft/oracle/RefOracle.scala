@@ -13,7 +13,7 @@ import scala.collection.mutable
 object RefOracle {
   case class T(convId: String, turnIdx: Int, text: String)
 
-  private val DefRe = """^define entity ([A-Za-z]+:[A-Za-z0-9_#]+)(?: with qty=([0-9]+))?$""".r
+  private val DefRe = """^define entity ([A-Za-z]+:[A-Za-z0-9_#]+)(?: with qty=([0-9]+))?(?: extends ([A-Za-z]+:[A-Za-z0-9_#]+))?$""".r
   private val AliasRe = """^alias (a[0-9]+) => ([A-Za-z]+:[A-Za-z0-9_#]+)$""".r
   private val LinkRe = """^link (self|a[0-9]+|[A-Za-z]+:[A-Za-z0-9_#]+) -\[([a-z_]+)\]-> (self|a[0-9]+|[A-Za-z]+:[A-Za-z0-9_#]+)$""".r
 
@@ -30,7 +30,7 @@ object RefOracle {
       val aliases = mutable.Map[String, String]()
       ordered.foreach { t =>
         t.text.split(" ; ", -1).foreach {
-          case DefRe(name, _) =>
+          case DefRe(name, _, _) =>
             defined += name
             if (self.isEmpty) self = Some(name)
           case AliasRe(a, target) => aliases(a) = target
@@ -46,4 +46,12 @@ object RefOracle {
     }
     raw.filter(t => defined.contains(t._3)).toSet
   }
+
+  /** Containment/inheritance oracle: distinct (child, parent) pairs from
+    * `extends` clauses (reference class_class_edges 'inherits_from',
+    * knowledge_graph.py:1122-1197). */
+  def containment(corpus: Seq[T]): Set[(String, String)] =
+    corpus.flatMap(_.text.split(" ; ", -1).collect {
+      case DefRe(name, _, parent) if parent != null => (name, parent)
+    }).toSet
 }
