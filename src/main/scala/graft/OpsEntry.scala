@@ -95,9 +95,13 @@ object OpsEntry {
         |  FROM documents
         |),
         |sz AS (SELECT id, count(*) AS sz FROM tok GROUP BY id),
+        |rare AS (SELECT blk, word FROM (
+        |  SELECT blk, word, count(*) AS df FROM tok GROUP BY blk, word
+        |) WHERE df <= 100),
+        |kept AS (SELECT tok.* FROM tok JOIN rare ON tok.blk = rare.blk AND tok.word = rare.word),
         |common AS (
         |  SELECT t1.blk AS blk, t1.id AS a, t2.id AS b, count(*) AS inter
-        |  FROM tok t1 JOIN tok t2 ON t1.blk = t2.blk AND t1.word = t2.word AND t1.id < t2.id
+        |  FROM kept t1 JOIN kept t2 ON t1.blk = t2.blk AND t1.word = t2.word AND t1.id < t2.id
         |  GROUP BY t1.blk, t1.id, t2.id
         |),
         |scored AS (

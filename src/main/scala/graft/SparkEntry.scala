@@ -180,6 +180,24 @@ object SparkEntry {
     graft.link.FuzzyLink.link(surfaces, dict)
   }
 
+  /** Grouped membership lists (reference import grouping's
+    * `import_file_ids: list`, knowledge_graph.py:933-941): per entity, the
+    * sorted set of conversations that define it — an ArrayType cell.
+    * Aggregated in two phases through Salt.twoPhaseAgg (partial
+    * collect_set by (key, salt), then merge) so one hot entity's state
+    * never accumulates on a single reducer. */
+  private def qEntityConvs(s: SparkSession, dir: String): DataFrame = {
+    val defs = mentionsOf(s, dir)
+      .filter(col("kind") === "entity_def")
+      .select(col("subj").as("canonical_name"), col("conv_id"))
+    graft.canonical.Salt.twoPhaseAgg(defs, "canonical_name", s = 8,
+      saltFrom = Seq("conv_id"))(
+      partial = Seq(collect_set(col("conv_id")).as("cs")),
+      merge = Seq(sort_array(array_distinct(flatten(collect_list(col("cs")))))
+        .as("conv_ids")))
+      .withColumn("n_convs", size(col("conv_ids")).cast("long"))
+  }
+
   /** Container/inheritance edges (reference class_class_edges
     * 'inherits_from' + the reverse 'contains' direction,
     * knowledge_graph.py:1122-1197): distinct (child, parent) pairs from
@@ -259,6 +277,7 @@ object SparkEntry {
     "kg_questions" -> (qQuestions _),
     "kg_containment" -> (qContainment _),
     "kg_issue_edges" -> (qIssueEdges _),
+    "kg_entity_convs" -> (qEntityConvs _),
   ) ++ OpsEntry.queries ++ RelEntry.queries
 
   // ---- DuckDB oracle (structural reconstruction; never parses text) ----
@@ -461,6 +480,17 @@ object SparkEntry {
         |GROUP BY entity""".stripMargin),
 
     "kg_components" -> componentsOracle,
+
+    "kg_entity_convs" -> withBase(
+      """SELECT canonical_name,
+        |       list_sort(list_distinct(list(conv_id))) AS conv_ids,
+        |       CAST(len(list_distinct(list(conv_id))) AS BIGINT) AS n_convs
+        |FROM (
+        |  SELECT cust AS canonical_name, conv_id FROM oc
+        |  UNION ALL SELECT pname, conv_id FROM li
+        |  UNION ALL SELECT sname, conv_id FROM li
+        |)
+        |GROUP BY canonical_name""".stripMargin),
 
     "kg_containment" -> withBase(
       """, pairs AS (SELECT DISTINCT pname AS child, cat AS parent FROM li),

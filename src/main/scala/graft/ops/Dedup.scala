@@ -119,14 +119,26 @@ object Dedup {
   /** Token-level Jaccard similarity within a blocking key (here `source`),
     * via an inverted-index self-join; emits top-k pairs per block.
     * This is the n-gram Jaccard near-dup primitive with blocking to bound
-    * the pair explosion (same-block pairs only). */
+    * the pair explosion (same-block pairs only).
+    *
+    * Document-frequency cap: a token appearing in f docs of one block
+    * yields f^2 candidate rows in the self-join, so stopword-class tokens
+    * (df > maxDf within their block) are dropped from the inverted index
+    * before the join — the standard frequency-filtering step. Candidate
+    * generation is then bounded by maxDf^2 per (block, token). Union sizes
+    * keep the full token sets (the cut only thins the intersection counts
+    * of stopword-dominated pairs, which were never near-dups). */
   def jaccardTopPairs(docs: DataFrame, blockCol: String = "source",
-      idCol: String = "doc_id", textCol: String = "text", topK: Int = 5): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text", topK: Int = 5,
+      maxDf: Int = 100): DataFrame = {
     val tok = docs.select(col(blockCol).as("blk"), col(idCol).as("id"),
       explode(array_distinct(split(col(textCol), " "))).as("w"))
     val sizes = tok.groupBy("id").agg(count(lit(1)).as("sz"))
-    val a = tok.select(col("blk"), col("w"), col("id").as("a"))
-    val b = tok.select(col("blk"), col("w"), col("id").as("b"))
+    val rare = tok.groupBy("blk", "w").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("blk", "w")
+    val kept = tok.join(rare, Seq("blk", "w"))
+    val a = kept.select(col("blk"), col("w"), col("id").as("a"))
+    val b = kept.select(col("blk"), col("w"), col("id").as("b"))
     val common = a.join(b, Seq("blk", "w"))
       .filter(col("a") < col("b"))
       .groupBy("blk", "a", "b").agg(count(lit(1)).as("inter"))

@@ -129,4 +129,17 @@ class OpsSpec extends SparkSpec {
     val overlap = fp(1L).zip(fp(2L)).count { case (x, y) => x == y }
     assert(overlap >= 2, s"expected mostly-stable fingerprints, got $overlap/4")
   }
+
+  test("jaccard df-cap bounds hot-token candidate blowup") {
+    import spark.implicits._
+    // one stopword-class token shared by every doc in the block; unique
+    // tokens otherwise. Without the cap the inverted-index self-join emits
+    // ~n^2/2 candidate pairs from 'hot' alone.
+    val docs = (0 until 200).map(i => (s"d$i", "blk", s"hot u$i v$i"))
+      .toDF("doc_id", "source", "text")
+    val capped = Dedup.jaccardTopPairs(docs, maxDf = 50)
+    val uncapped = Dedup.jaccardTopPairs(docs, maxDf = 1000)
+    assert(capped.count() === 0L, "df-cut must drop the hot token, leaving no candidates")
+    assert(uncapped.count() > 0L)
+  }
 }
