@@ -89,6 +89,15 @@ object SparkEntry {
   private def qAliasGroups(s: SparkSession, dir: String): DataFrame =
     Canonical.aliasGroups(mentionsOf(s, dir))
 
+  private def qSegmentNodes(s: SparkSession, dir: String): DataFrame =
+    Extract.segmentNodes(Transcripts.fromTpch(s, dir)).select(
+      col("conv_id"), long("turn_idx"), long("seg_idx"), col("kind"))
+
+  private def qSegmentEdges(s: SparkSession, dir: String): DataFrame =
+    Extract.segmentEdges(Extract.segmentNodes(Transcripts.fromTpch(s, dir)))
+      .select(col("conv_id"), long("turn_idx"), long("src_seg"),
+        long("dst_seg"), col("src_kind"), col("dst_kind"))
+
   private def qTurnEdges(s: SparkSession, dir: String): DataFrame =
     Extract.turnOrderEdges(Transcripts.fromTpch(s, dir)).select(
       col("conv_id"), long("turn_idx"), long("next_turn_idx"))
@@ -278,6 +287,8 @@ object SparkEntry {
     "kg_containment" -> (qContainment _),
     "kg_issue_edges" -> (qIssueEdges _),
     "kg_entity_convs" -> (qEntityConvs _),
+    "kg_segment_nodes" -> (qSegmentNodes _),
+    "kg_segment_edges" -> (qSegmentEdges _),
   ) ++ OpsEntry.queries ++ RelEntry.queries
 
   // ---- DuckDB oracle (structural reconstruction; never parses text) ----
@@ -328,6 +339,22 @@ object SparkEntry {
       |)""".stripMargin
 
   private def withBase(body: String) = s"WITH $baseCtes\n$body"
+
+  /** Structural reconstruction of every turn's segment list (position +
+    * grammar kind) — the oracle never parses text. */
+  private val segsCte =
+    """segs AS (
+      |  SELECT conv_id, CAST(0 AS BIGINT) AS turn_idx, CAST(0 AS BIGINT) AS seg_idx, 'narration' AS kind FROM oc
+      |  UNION ALL SELECT conv_id, CAST(0 AS BIGINT), CAST(1 AS BIGINT), 'entity_def' FROM oc
+      |  UNION ALL SELECT conv_id, CAST(2*k-1 AS BIGINT), CAST(0 AS BIGINT), 'entity_def' FROM li
+      |  UNION ALL SELECT conv_id, CAST(2*k-1 AS BIGINT), CAST(1 AS BIGINT), 'entity_def' FROM li
+      |  UNION ALL SELECT conv_id, CAST(2*k-1 AS BIGINT), CAST(2 AS BIGINT), 'alias_binding' FROM li
+      |  UNION ALL SELECT conv_id, CAST(2*k AS BIGINT), CAST(0 AS BIGINT), 'relation' FROM li
+      |  UNION ALL SELECT conv_id, CAST(2*k AS BIGINT), CAST(1 AS BIGINT), 'relation' FROM li
+      |  UNION ALL SELECT conv_id, CAST(2*k AS BIGINT), CAST(2 AS BIGINT), 'relation' FROM li WHERE k % 3 = 0
+      |  UNION ALL SELECT conv_id, CAST(2*k AS BIGINT), CAST(2 + (CASE WHEN k % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT), 'relation' FROM li WHERE k % 4 = 0
+      |  UNION ALL SELECT conv_id, CAST(2*k AS BIGINT), CAST(2 + (CASE WHEN k % 3 = 0 THEN 1 ELSE 0 END) + (CASE WHEN k % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT), 'narration' FROM li WHERE k % 5 = 0
+      |)""".stripMargin
 
   private val componentsOracle =
     s"""WITH RECURSIVE $baseCtes,
@@ -480,6 +507,18 @@ object SparkEntry {
         |GROUP BY entity""".stripMargin),
 
     "kg_components" -> componentsOracle,
+
+    "kg_segment_nodes" -> withBase(s", $segsCte\nSELECT conv_id, turn_idx, seg_idx, kind FROM segs"),
+
+    "kg_segment_edges" -> withBase(
+      s""", $segsCte
+        |SELECT conv_id, turn_idx, seg_idx AS src_seg, next_seg AS dst_seg,
+        |       kind AS src_kind, next_kind AS dst_kind
+        |FROM (
+        |  SELECT *, lead(seg_idx) OVER w AS next_seg, lead(kind) OVER w AS next_kind
+        |  FROM segs WINDOW w AS (PARTITION BY conv_id, turn_idx ORDER BY seg_idx)
+        |)
+        |WHERE next_seg IS NOT NULL""".stripMargin),
 
     "kg_entity_convs" -> withBase(
       """SELECT canonical_name,

@@ -70,6 +70,44 @@ object Extract {
         col("ts"))
   }
 
+  /** Per-turn segment subgraph nodes (reference subgraph_nodes,
+    * function_graph.py:99-148): every segment of every turn — including
+    * narration — becomes a node keyed by the composite
+    * (conv_id, turn_idx, seg_idx), labeled with its grammar kind. */
+  def segmentNodes(transcripts: DataFrame): DataFrame = {
+    import Grammar._
+    transcripts.select(col("conv_id"), col("turn_idx"),
+      posexplode(split(col("text"), segmentSep)).as(Seq("seg_idx", "seg")))
+      .select(col("conv_id"), col("turn_idx"), col("seg_idx"),
+        when(col("seg").rlike(defRe), "entity_def")
+          .when(col("seg").rlike(aliasRe), "alias_binding")
+          .when(col("seg").rlike(linkRe), "relation")
+          .otherwise("narration").as("kind"))
+  }
+
+  /** Per-turn segment subgraph edges: consecutive-segment `lead` edges
+    * (function_graph.py:61-68), with the destination's label fetched by a
+    * composite-key join on (conv_id, turn_idx, seg_idx) — the reference's
+    * (func_id, node_id) remap family (J4, hierarchical_graph.py:364-386).
+    * Both sides are partitioned by the same composite key, so the join is
+    * co-located with the window shuffle. */
+  def segmentEdges(segNodes: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("conv_id", "turn_idx").orderBy("seg_idx")
+    val withNext = segNodes
+      .withColumn("dst_seg", lead("seg_idx", 1).over(w))
+      .filter(col("dst_seg").isNotNull)
+      .select(col("conv_id"), col("turn_idx"),
+        col("seg_idx").as("src_seg"), col("dst_seg"),
+        col("kind").as("src_kind"))
+    withNext.join(
+      segNodes.select(col("conv_id"), col("turn_idx"),
+        col("seg_idx").as("dst_seg"), col("kind").as("dst_kind")),
+      Seq("conv_id", "turn_idx", "dst_seg"))
+      .select(col("conv_id"), col("turn_idx"), col("src_seg"),
+        col("dst_seg"), col("src_kind"), col("dst_kind"))
+  }
+
   /** Turn-order edges within each conversation: (turn_idx -> next turn).
     * Reference analog: consecutive-leaf `shift(-1)` edges
     * (package/function_graph.py:61-68) — same `lead` primitive. */

@@ -47,4 +47,17 @@ class ExtractSpec extends SparkSpec {
     val e = Extract.turnOrderEdges(t)
     assert(rowSet(e) === Set(Seq("c1", 0, 2), Seq("c1", 2, 5)))
   }
+
+  test("segment subgraph: every segment is a node; lead edges carry both kinds") {
+    import spark.implicits._
+    val t = Seq(("c1", 0, "hello world ; define entity t:x ; link t:x -[uses]-> t:x"))
+      .toDF("conv_id", "turn_idx", "text")
+    val nodes = Extract.segmentNodes(t).collect()
+      .map(r => (r.getInt(2), r.getString(3))).sortBy(_._1)
+    assert(nodes.toSeq === Seq((0, "narration"), (1, "entity_def"), (2, "relation")))
+    val edges = Extract.segmentEdges(Extract.segmentNodes(t)).collect()
+      .map(r => (r.getInt(2), r.getInt(3), r.getString(4), r.getString(5))).sortBy(_._1)
+    assert(edges.toSeq === Seq(
+      (0, 1, "narration", "entity_def"), (1, 2, "entity_def", "relation")))
+  }
 }
