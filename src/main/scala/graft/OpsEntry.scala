@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{Clustering, Dedup, Multimodal, Similarity, TextOps}
 
 /** Driver-contract queries for the training-data pipeline operators
   * (dedup / similarity / text analysis / multimodal) over the `documents`
@@ -39,6 +39,8 @@ object OpsEntry {
     "emb_ann_topk" -> ((s, dir) => Similarity.bruteForceTopK(emb(s, dir))),
 
     "emb_lsh_buckets" -> ((s, dir) => Similarity.lshBuckets(emb(s, dir))),
+
+    "emb_clusters" -> ((s, dir) => Clustering.lloydStep(emb(s, dir))),
   )
 
   /** Word 3-gram shingle CTE (mirrors Dedup.shingles for docs with >= 3
@@ -182,6 +184,29 @@ object OpsEntry {
         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_ppm DESC, neighbor_id) AS BIGINT) AS rank
         |  FROM s
         |) WHERE rank <= 10""".stripMargin,
+
+    // one Lloyd iteration of k-means over micro-unit-quantized embeddings:
+    // integer distances -> assignments are exact across engines
+    "emb_clusters" ->
+      """WITH q AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+        |         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS xq
+        |  FROM embeddings
+        |),
+        |c0 AS (SELECT vec_id AS cid, dim, xq AS cq FROM q WHERE vec_id < 8),
+        |d0 AS (SELECT q.vec_id, c0.cid, sum((q.xq - c0.cq)*(q.xq - c0.cq)) AS d2
+        |       FROM q JOIN c0 USING(dim) GROUP BY q.vec_id, c0.cid),
+        |a0 AS (SELECT vec_id, cid AS cluster FROM (
+        |         SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk FROM d0
+        |       ) WHERE rk = 1),
+        |m AS (SELECT a0.cluster, q.dim, CAST(round(avg(q.xq)) AS BIGINT) AS cq
+        |      FROM q JOIN a0 USING(vec_id) GROUP BY a0.cluster, q.dim),
+        |d1 AS (SELECT q.vec_id, m.cluster AS cid, sum((q.xq - m.cq)*(q.xq - m.cq)) AS d2
+        |       FROM q JOIN m USING(dim) GROUP BY q.vec_id, m.cluster),
+        |a1 AS (SELECT vec_id, cid AS cluster FROM (
+        |         SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk FROM d1
+        |       ) WHERE rk = 1)
+        |SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cluster AS BIGINT) AS cluster FROM a1""".stripMargin,
 
     "emb_lsh_buckets" ->
       """WITH pl AS (

@@ -89,6 +89,14 @@ object SparkEntry {
   private def qAliasGroups(s: SparkSession, dir: String): DataFrame =
     Canonical.aliasGroups(mentionsOf(s, dir))
 
+  private def qHierarchyNodes(s: SparkSession, dir: String): DataFrame =
+    graft.graph.Hierarchy.nodes(Transcripts.fromTpch(s, dir))
+
+  private def qHierarchyEdges(s: SparkSession, dir: String): DataFrame = {
+    val t = Transcripts.fromTpch(s, dir)
+    graft.graph.Hierarchy.edges(t, graft.graph.Hierarchy.nodes(t))
+  }
+
   private def qSegmentNodes(s: SparkSession, dir: String): DataFrame =
     Extract.segmentNodes(Transcripts.fromTpch(s, dir)).select(
       col("conv_id"), long("turn_idx"), long("seg_idx"), col("kind"))
@@ -289,6 +297,8 @@ object SparkEntry {
     "kg_entity_convs" -> (qEntityConvs _),
     "kg_segment_nodes" -> (qSegmentNodes _),
     "kg_segment_edges" -> (qSegmentEdges _),
+    "kg_hierarchy_nodes" -> (qHierarchyNodes _),
+    "kg_hierarchy_edges" -> (qHierarchyEdges _),
   ) ++ OpsEntry.queries ++ RelEntry.queries
 
   // ---- DuckDB oracle (structural reconstruction; never parses text) ----
@@ -339,6 +349,20 @@ object SparkEntry {
       |)""".stripMargin
 
   private def withBase(body: String) = s"WITH $baseCtes\n$body"
+
+  /** Hierarchy node CTE: corpus root + month folders + conversation
+    * leaves, dense IDs re-keyed the bucketed way. */
+  private val hierNodesCte =
+    """hn AS (
+      |  SELECT 'corpus:all' AS name, true AS is_folder
+      |  UNION ALL SELECT DISTINCT 'month:'||strftime(o_orderdate,'%Y-%m'), true FROM orders
+      |  UNION ALL SELECT 'conv:c'||o_orderkey, false FROM orders
+      |),
+      |hid AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY substr(md5(name),1,2), name) - 1 AS BIGINT) AS hier_id,
+      |         name, is_folder
+      |  FROM hn
+      |)""".stripMargin
 
   /** Structural reconstruction of every turn's segment list (position +
     * grammar kind) — the oracle never parses text. */
@@ -507,6 +531,21 @@ object SparkEntry {
         |GROUP BY entity""".stripMargin),
 
     "kg_components" -> componentsOracle,
+
+    "kg_hierarchy_nodes" ->
+      s"""WITH $hierNodesCte
+        |SELECT hier_id, name, is_folder FROM hid""".stripMargin,
+
+    "kg_hierarchy_edges" ->
+      s"""WITH $hierNodesCte,
+        |he AS (
+        |  SELECT DISTINCT 'corpus:all' AS src, 'month:'||strftime(o_orderdate,'%Y-%m') AS dst FROM orders
+        |  UNION ALL SELECT 'month:'||strftime(o_orderdate,'%Y-%m'), 'conv:c'||o_orderkey FROM orders
+        |)
+        |SELECT s.hier_id AS src_id, d.hier_id AS dst_id, he.src, he.dst
+        |FROM he
+        |JOIN hid s ON he.src = s.name
+        |JOIN hid d ON he.dst = d.name""".stripMargin,
 
     "kg_segment_nodes" -> withBase(s", $segsCte\nSELECT conv_id, turn_idx, seg_idx, kind FROM segs"),
 

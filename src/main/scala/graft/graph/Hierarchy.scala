@@ -1,0 +1,50 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.canonical.{Canonical, Joins}
+
+/** Corpus browse hierarchy (reference file/folder nodes with `is_folder`
+  * + dir->child file_edges, knowledge_graph.py:1044-1118): the transcript
+  * analog is corpus -> month partition -> conversation. Every graph browse
+  * starts here; nodes get dense bucketed IDs like every other node table.
+  */
+object Hierarchy {
+
+  private def turn0(transcripts: DataFrame): DataFrame =
+    transcripts.filter(col("turn_idx") === 0)
+      .select(col("conv_id"), date_format(col("ts"), "yyyy-MM").as("month"))
+
+  /** (hier_id, name, is_folder): corpus root + month folders + conv leaves. */
+  def nodes(transcripts: DataFrame): DataFrame = {
+    val t0 = turn0(transcripts)
+    val root = t0.sparkSession.range(1)
+      .select(lit("corpus:all").as("name"), lit(true).as("is_folder"))
+    val names = root
+      .unionByName(t0.select(concat(lit("month:"), col("month")).as("name"),
+        lit(true).as("is_folder")).distinct())
+      .unionByName(t0.select(concat(lit("conv:"), col("conv_id")).as("name"),
+        lit(false).as("is_folder")))
+    Canonical.denseIdsBucketed(names, keyCol = "name", idCol = "hier_id")
+      .select(col("hier_id"), col("name"), col("is_folder"))
+  }
+
+  /** Parent->child `contains` edges with both endpoints remapped to dense
+    * IDs through size-gated joins. */
+  def edges(transcripts: DataFrame, hierNodes: DataFrame): DataFrame = {
+    val t0 = turn0(transcripts)
+    val pairs = t0
+      .select(lit("corpus:all").as("src"),
+        concat(lit("month:"), col("month")).as("dst")).distinct()
+      .unionByName(t0.select(concat(lit("month:"), col("month")).as("src"),
+        concat(lit("conv:"), col("conv_id")).as("dst")))
+    val withSrc = Joins.innerSkewSafe(pairs,
+      hierNodes.select(col("name").as("src"), col("hier_id").as("src_id")),
+      "src", saltFrom = Seq("dst"))
+    Joins.innerSkewSafe(withSrc,
+      hierNodes.select(col("name").as("dst"), col("hier_id").as("dst_id")),
+      "dst", saltFrom = Seq("src"))
+      .select(col("src_id"), col("dst_id"), col("src"), col("dst"))
+  }
+}
