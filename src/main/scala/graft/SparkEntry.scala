@@ -89,6 +89,25 @@ object SparkEntry {
   private def qAliasGroups(s: SparkSession, dir: String): DataFrame =
     Canonical.aliasGroups(mentionsOf(s, dir))
 
+  /** Node property richness (reference nodes carry code/docstring/location
+    * properties, call_graph.py:492-540): nodes with a struct-typed props
+    * column aggregated from their definition mentions. Container-only
+    * nodes (never defined) get default props via the left join. */
+  private def qNodesRich(s: SparkSession, dir: String): DataFrame = {
+    val stats = mentionsOf(s, dir).filter(col("kind") === "entity_def")
+      .groupBy(col("subj").as("canonical_name"))
+      .agg(count(lit(1)).cast("long").as("n_defs"),
+        min(col("conv_id")).as("first_conv"),
+        max(col("attr")).as("max_attr"))
+    graft.graph.Pipeline.nodes(s, dir)
+      .join(stats, Seq("canonical_name"), "left")
+      .select(col("node_id"), col("canonical_name"), col("node_type"),
+        struct(
+          coalesce(col("n_defs"), lit(0L)).as("n_defs"),
+          coalesce(col("first_conv"), lit("")).as("first_conv"),
+          coalesce(col("max_attr"), lit("")).as("max_attr")).as("props"))
+  }
+
   private def qHierarchyNodes(s: SparkSession, dir: String): DataFrame =
     graft.graph.Hierarchy.nodes(Transcripts.fromTpch(s, dir))
 
@@ -299,6 +318,7 @@ object SparkEntry {
     "kg_segment_edges" -> (qSegmentEdges _),
     "kg_hierarchy_nodes" -> (qHierarchyNodes _),
     "kg_hierarchy_edges" -> (qHierarchyEdges _),
+    "kg_nodes_rich" -> (qNodesRich _),
   ) ++ OpsEntry.queries ++ RelEntry.queries
 
   // ---- DuckDB oracle (structural reconstruction; never parses text) ----
@@ -497,7 +517,7 @@ object SparkEntry {
         |  SELECT entity,
         |         CAST(row_number() OVER (PARTITION BY entity ORDER BY ts, conv_id, turn_idx) AS BIGINT) AS version_seq,
         |         strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
-        |         md5(state) AS body_hash, state, conv_id, CAST(turn_idx AS BIGINT) AS turn_idx
+        |         sha256(state) AS body_hash, state, conv_id, CAST(turn_idx AS BIGINT) AS turn_idx
         |  FROM (
         |    SELECT *, lag(state) OVER (PARTITION BY entity ORDER BY ts, conv_id, turn_idx) AS prev
         |    FROM (SELECT pname AS entity, qty AS state, l_shipdate AS ts, conv_id, 2*k-1 AS turn_idx FROM li)
@@ -509,7 +529,7 @@ object SparkEntry {
         |       conv_id, turn_idx, body_hash FROM (
         |  SELECT entity,
         |         CAST(row_number() OVER (PARTITION BY entity ORDER BY ts, conv_id, turn_idx) AS BIGINT) AS version_seq,
-        |         md5(state) AS body_hash, conv_id, CAST(turn_idx AS BIGINT) AS turn_idx
+        |         sha256(state) AS body_hash, conv_id, CAST(turn_idx AS BIGINT) AS turn_idx
         |  FROM (
         |    SELECT *, lag(state) OVER (PARTITION BY entity ORDER BY ts, conv_id, turn_idx) AS prev
         |    FROM (SELECT pname AS entity, qty AS state, l_shipdate AS ts, conv_id, 2*k-1 AS turn_idx FROM li)
@@ -522,7 +542,7 @@ object SparkEntry {
         |       max_by(body_hash, version_seq) AS body_hash FROM (
         |  SELECT entity,
         |         CAST(row_number() OVER (PARTITION BY entity ORDER BY ts, conv_id, turn_idx) AS BIGINT) AS version_seq,
-        |         md5(state) AS body_hash, state
+        |         sha256(state) AS body_hash, state
         |  FROM (
         |    SELECT *, lag(state) OVER (PARTITION BY entity ORDER BY ts, conv_id, turn_idx) AS prev
         |    FROM (SELECT pname AS entity, qty AS state, l_shipdate AS ts, conv_id, 2*k-1 AS turn_idx FROM li)
@@ -531,6 +551,23 @@ object SparkEntry {
         |GROUP BY entity""".stripMargin),
 
     "kg_components" -> componentsOracle,
+
+    "kg_nodes_rich" -> withBase(
+      """, defs AS (
+        |  SELECT cust AS canonical_name, conv_id, '' AS attr FROM oc
+        |  UNION ALL SELECT pname, conv_id, qty FROM li
+        |  UNION ALL SELECT sname, conv_id, '' FROM li
+        |),
+        |stats AS (
+        |  SELECT canonical_name, CAST(count(*) AS BIGINT) AS n_defs,
+        |         min(conv_id) AS first_conv, max(attr) AS max_attr
+        |  FROM defs GROUP BY canonical_name
+        |)
+        |SELECT n.node_id, n.canonical_name, n.node_type,
+        |       {'n_defs': coalesce(s.n_defs, 0),
+        |        'first_conv': coalesce(s.first_conv, ''),
+        |        'max_attr': coalesce(s.max_attr, '')} AS props
+        |FROM nodes n LEFT JOIN stats s ON n.canonical_name = s.canonical_name""".stripMargin),
 
     "kg_hierarchy_nodes" ->
       s"""WITH $hierNodesCte

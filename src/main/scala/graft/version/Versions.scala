@@ -43,7 +43,9 @@ object Versions {
       .select(
         col("entity"), col("version_seq"),
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
-        md5(col("state")).as("body_hash"),
+        // sha-256, matching the reference's body hash
+        // (function_versioning.py:31-32); DuckDB oracle uses sha256()
+        sha2(col("state"), 256).as("body_hash"),
         col("state"),
         col("conv_id"), col("turn_idx"))
   }
