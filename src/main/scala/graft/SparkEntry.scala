@@ -51,7 +51,7 @@ object SparkEntry {
     mentionsOf(s, dir).select(
       col("conv_id"), long("turn_idx"), long("mention_idx"),
       col("kind"), col("subj"), col("pred"), col("obj"), col("attr"),
-      col("parent"))
+      col("parent"), long("hop"))
 
   private def qBindings(s: SparkSession, dir: String): DataFrame =
     Resolve.bindings(mentionsOf(s, dir)).select(
@@ -366,6 +366,14 @@ object SparkEntry {
       |  UNION ALL
       |  SELECT conv_id, CAST(2*k AS BIGINT), CAST(2 AS BIGINT),
       |         pname, 'returned_to', sname FROM lic WHERE k % 3 = 0
+      |  UNION ALL
+      |  SELECT conv_id, CAST(2*k AS BIGINT),
+      |         CAST(2 + (CASE WHEN k % 3 = 0 THEN 1 ELSE 0 END) + (CASE WHEN k % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT),
+      |         cust, 'reordered', pname FROM lic WHERE k % 6 = 0
+      |  UNION ALL
+      |  SELECT conv_id, CAST(2*k AS BIGINT),
+      |         CAST(2 + (CASE WHEN k % 3 = 0 THEN 1 ELSE 0 END) + (CASE WHEN k % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT),
+      |         pname, 'sourced_from', sname FROM lic WHERE k % 6 = 0
       |)""".stripMargin
 
   private def withBase(body: String) = s"WITH $baseCtes\n$body"
@@ -397,7 +405,8 @@ object SparkEntry {
       |  UNION ALL SELECT conv_id, CAST(2*k AS BIGINT), CAST(1 AS BIGINT), 'relation' FROM li
       |  UNION ALL SELECT conv_id, CAST(2*k AS BIGINT), CAST(2 AS BIGINT), 'relation' FROM li WHERE k % 3 = 0
       |  UNION ALL SELECT conv_id, CAST(2*k AS BIGINT), CAST(2 + (CASE WHEN k % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT), 'relation' FROM li WHERE k % 4 = 0
-      |  UNION ALL SELECT conv_id, CAST(2*k AS BIGINT), CAST(2 + (CASE WHEN k % 3 = 0 THEN 1 ELSE 0 END) + (CASE WHEN k % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT), 'narration' FROM li WHERE k % 5 = 0
+      |  UNION ALL SELECT conv_id, CAST(2*k AS BIGINT), CAST(2 + (CASE WHEN k % 3 = 0 THEN 1 ELSE 0 END) + (CASE WHEN k % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT), 'chain' FROM li WHERE k % 6 = 0
+      |  UNION ALL SELECT conv_id, CAST(2*k AS BIGINT), CAST(2 + (CASE WHEN k % 3 = 0 THEN 1 ELSE 0 END) + (CASE WHEN k % 4 = 0 THEN 1 ELSE 0 END) + (CASE WHEN k % 6 = 0 THEN 1 ELSE 0 END) AS BIGINT), 'narration' FROM li WHERE k % 5 = 0
       |)""".stripMargin
 
   private val componentsOracle =
@@ -443,15 +452,17 @@ object SparkEntry {
     "kg_mentions" -> withBase(
       """SELECT 'c'||o_orderkey AS conv_id, CAST(0 AS BIGINT) AS turn_idx,
         |       CAST(1 AS BIGINT) AS mention_idx, 'entity_def' AS kind,
-        |       'customer:'||replace(c_name,' ','_') AS subj, '' AS pred, '' AS obj, '' AS attr, '' AS parent
+        |       'customer:'||replace(c_name,' ','_') AS subj, '' AS pred, '' AS obj, '' AS attr, '' AS parent, CAST(0 AS BIGINT) AS hop
         |FROM orders JOIN customer ON o_custkey = c_custkey
-        |UNION ALL SELECT conv_id, CAST(2*k-1 AS BIGINT), CAST(0 AS BIGINT), 'entity_def', pname, '', '', qty, cat FROM li
-        |UNION ALL SELECT conv_id, CAST(2*k-1 AS BIGINT), CAST(1 AS BIGINT), 'entity_def', sname, '', '', '', '' FROM li
-        |UNION ALL SELECT conv_id, CAST(2*k-1 AS BIGINT), CAST(2 AS BIGINT), 'alias_binding', 'a'||k, '', pname, '', '' FROM li
-        |UNION ALL SELECT conv_id, CAST(2*k AS BIGINT), CAST(0 AS BIGINT), 'relation', sname, 'supplies', 'a'||k, '', '' FROM li
-        |UNION ALL SELECT conv_id, CAST(2*k AS BIGINT), CAST(1 AS BIGINT), 'relation', 'self', 'ordered', 'a'||k, '', '' FROM li
-        |UNION ALL SELECT conv_id, CAST(2*k AS BIGINT), CAST(2 AS BIGINT), 'relation', 'a'||k, 'returned_to', sname, '', '' FROM li WHERE k % 3 = 0
-        |UNION ALL SELECT conv_id, CAST(2*k AS BIGINT), CAST(2 + CASE WHEN k % 3 = 0 THEN 1 ELSE 0 END AS BIGINT), 'relation', 'self', 'mentions', 'item:unknown_'||pk, '', '' FROM li WHERE k % 4 = 0
+        |UNION ALL SELECT conv_id, CAST(2*k-1 AS BIGINT), CAST(0 AS BIGINT), 'entity_def', pname, '', '', qty, cat, CAST(0 AS BIGINT) FROM li
+        |UNION ALL SELECT conv_id, CAST(2*k-1 AS BIGINT), CAST(1 AS BIGINT), 'entity_def', sname, '', '', '', '', CAST(0 AS BIGINT) FROM li
+        |UNION ALL SELECT conv_id, CAST(2*k-1 AS BIGINT), CAST(2 AS BIGINT), 'alias_binding', 'a'||k, '', pname, '', '', CAST(0 AS BIGINT) FROM li
+        |UNION ALL SELECT conv_id, CAST(2*k AS BIGINT), CAST(0 AS BIGINT), 'relation', sname, 'supplies', 'a'||k, '', '', CAST(0 AS BIGINT) FROM li
+        |UNION ALL SELECT conv_id, CAST(2*k AS BIGINT), CAST(1 AS BIGINT), 'relation', 'self', 'ordered', 'a'||k, '', '', CAST(0 AS BIGINT) FROM li
+        |UNION ALL SELECT conv_id, CAST(2*k AS BIGINT), CAST(2 AS BIGINT), 'relation', 'a'||k, 'returned_to', sname, '', '', CAST(0 AS BIGINT) FROM li WHERE k % 3 = 0
+        |UNION ALL SELECT conv_id, CAST(2*k AS BIGINT), CAST(2 + CASE WHEN k % 3 = 0 THEN 1 ELSE 0 END AS BIGINT), 'relation', 'self', 'mentions', 'item:unknown_'||pk, '', '', CAST(0 AS BIGINT) FROM li WHERE k % 4 = 0
+        |UNION ALL SELECT conv_id, CAST(2*k AS BIGINT), CAST(2 + (CASE WHEN k % 3 = 0 THEN 1 ELSE 0 END) + (CASE WHEN k % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT), 'relation', 'self', 'reordered', 'a'||k, '', '', CAST(0 AS BIGINT) FROM li WHERE k % 6 = 0
+        |UNION ALL SELECT conv_id, CAST(2*k AS BIGINT), CAST(2 + (CASE WHEN k % 3 = 0 THEN 1 ELSE 0 END) + (CASE WHEN k % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT), 'relation', 'a'||k, 'sourced_from', sname, '', '', CAST(1 AS BIGINT) FROM li WHERE k % 6 = 0
         |""".stripMargin),
 
     "kg_bindings" -> withBase(

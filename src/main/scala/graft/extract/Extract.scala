@@ -1,6 +1,6 @@
 package graft.extract
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Mention extraction: turn text -> typed mention rows.
@@ -29,11 +29,21 @@ object Extract {
     val defRe = s"^define entity ($name)(?: with qty=([0-9]+))?(?: extends ($name))?$$"
     val aliasRe = s"^alias (a[0-9]+) => ($name)$$"
     val linkRe = s"^link ($ref) -\\[([a-z_]+)\\]-> ($ref)$$"
+    // two-hop chain: one segment -> TWO relation mentions (the reference's
+    // chained-call splitting a.b().c(), CppAstAdapter.py:528-549 — one
+    // mention row fans out to multiple resolved triples)
+    val chainRe = s"^chain ($ref) -\\[([a-z_]+)\\]-> ($ref) -\\[([a-z_]+)\\]-> ($ref)$$"
     val segmentSep = " ; "
   }
 
   /** Extract all mentions. Output: conv_id, turn_idx, mention_idx, kind,
-    * subj, pred, obj, attr, ts (absent fields are "", never null). */
+    * subj, pred, obj, attr, parent, ts (absent fields are "", never null).
+    *
+    * A segment expands to an ARRAY of mention structs which is then
+    * inline-exploded (the 0..n Generator shape): def/alias/link segments
+    * yield one row, a two-hop `chain` segment yields TWO relation rows
+    * sharing the segment's mention_idx — the chained-call flatMap (L4)
+    * expressed as array<struct> + explode, no UDF. */
   def mentions(transcripts: DataFrame): DataFrame = {
     import Grammar._
     val segs = transcripts.select(
@@ -43,30 +53,36 @@ object Extract {
     val isDef = col("seg").rlike(defRe)
     val isAlias = col("seg").rlike(aliasRe)
     val isLink = col("seg").rlike(linkRe)
+    val isChain = col("seg").rlike(chainRe)
+
+    def m(kind: String, subj: Column, pred: Column, obj: Column,
+        attr: Column, parent: Column) =
+      struct(lit(kind).as("kind"), subj.as("subj"), pred.as("pred"),
+        obj.as("obj"), attr.as("attr"), parent.as("parent"))
+    def g(re: String, i: Int) = regexp_extract(col("seg"), re, i)
+    val e = lit("")
+
+    val expanded = when(isDef, array(
+        m("entity_def", g(defRe, 1), e, e, g(defRe, 2), g(defRe, 3))))
+      .when(isAlias, array(
+        m("alias_binding", g(aliasRe, 1), e, g(aliasRe, 2), e, e)))
+      .when(isLink, array(
+        m("relation", g(linkRe, 1), g(linkRe, 2), g(linkRe, 3), e, e)))
+      .when(isChain, array(
+        m("relation", g(chainRe, 1), g(chainRe, 2), g(chainRe, 3), e, e),
+        m("relation", g(chainRe, 3), g(chainRe, 4), g(chainRe, 5), e, e)))
 
     segs
-      .withColumn("kind",
-        when(isDef, "entity_def")
-          .when(isAlias, "alias_binding")
-          .when(isLink, "relation"))
-      .filter(col("kind").isNotNull)
-      .select(
-        col("conv_id"),
-        col("turn_idx"),
-        col("mention_idx"),
-        col("kind"),
-        when(isDef, regexp_extract(col("seg"), defRe, 1))
-          .when(isAlias, regexp_extract(col("seg"), aliasRe, 1))
-          .otherwise(regexp_extract(col("seg"), linkRe, 1)).as("subj"),
-        when(isLink, regexp_extract(col("seg"), linkRe, 2))
-          .otherwise(lit("")).as("pred"),
-        when(isAlias, regexp_extract(col("seg"), aliasRe, 2))
-          .when(isLink, regexp_extract(col("seg"), linkRe, 3))
-          .otherwise(lit("")).as("obj"),
-        when(isDef, regexp_extract(col("seg"), defRe, 2))
-          .otherwise(lit("")).as("attr"),
-        when(isDef, regexp_extract(col("seg"), defRe, 3))
-          .otherwise(lit("")).as("parent"),
+      .filter(expanded.isNotNull) // narration -> no mention rows
+      .select(col("conv_id"), col("turn_idx"), col("mention_idx"), col("ts"),
+        posexplode(expanded).as(Seq("hop", "m")))
+      .select(col("conv_id"), col("turn_idx"), col("mention_idx"),
+        col("m.kind").as("kind"), col("m.subj").as("subj"),
+        col("m.pred").as("pred"), col("m.obj").as("obj"),
+        col("m.attr").as("attr"), col("m.parent").as("parent"),
+        // hop disambiguates the 0..n rows a chain segment fans out to:
+        // (conv_id, turn_idx, mention_idx, hop) stays a natural key
+        col("hop").cast("int").as("hop"),
         col("ts"))
   }
 
@@ -82,6 +98,7 @@ object Extract {
         when(col("seg").rlike(defRe), "entity_def")
           .when(col("seg").rlike(aliasRe), "alias_binding")
           .when(col("seg").rlike(linkRe), "relation")
+          .when(col("seg").rlike(chainRe), "chain")
           .otherwise("narration").as("kind"))
   }
 

@@ -53,29 +53,33 @@ object Resolve {
   def resolved(mentions: DataFrame): DataFrame = {
     val rels = mentions.filter(col("kind") === "relation")
 
+    // hop is part of the natural key: a chain segment fans out to several
+    // relation rows sharing (conv_id, turn_idx, mention_idx) — without hop
+    // in the re-join key the per-side resolutions would cross-match.
     val uses = rels
-      .select(col("conv_id"), col("turn_idx"), col("mention_idx"),
+      .select(col("conv_id"), col("turn_idx"), col("mention_idx"), col("hop"),
         lit("s").as("side"), col("subj").as("ref"))
       .unionByName(rels.select(col("conv_id"), col("turn_idx"),
-        col("mention_idx"), lit("o").as("side"), col("obj").as("ref")))
+        col("mention_idx"), col("hop"), lit("o").as("side"), col("obj").as("ref")))
       .filter(col("ref").rlike(aliasPat) || col("ref") === "self")
 
     val selfBindings = mentions
       .filter(col("kind") === "entity_def")
       .select(col("conv_id"), lit("self").as("ref"), col("turn_idx"),
-        col("mention_idx"), lit(null).cast("string").as("side"),
+        col("mention_idx"), lit(0).as("hop"), lit(null).cast("string").as("side"),
         col("subj").as("target"))
 
     val events = bindings(mentions)
       .select(col("conv_id"), col("ref"), col("turn_idx"), col("mention_idx"),
-        lit(null).cast("string").as("side"), col("target"))
+        lit(0).as("hop"), lit(null).cast("string").as("side"), col("target"))
       .unionByName(selfBindings)
       .unionByName(uses.select(col("conv_id"), col("ref"), col("turn_idx"),
-        col("mention_idx"), col("side"), lit(null).cast("string").as("target")))
+        col("mention_idx"), col("hop"), col("side"),
+        lit(null).cast("string").as("target")))
 
     val w = Window
       .partitionBy("conv_id", "ref")
-      .orderBy("turn_idx", "mention_idx")
+      .orderBy("turn_idx", "mention_idx", "hop")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val refResolved = events
@@ -83,19 +87,20 @@ object Resolve {
         when(col("ref") === "self", first("target", ignoreNulls = true).over(w))
           .otherwise(last("target", ignoreNulls = true).over(w)))
       .filter(col("side").isNotNull) // keep use events only
-      .select(col("conv_id"), col("turn_idx"), col("mention_idx"), col("side"),
-        coalesce(col("in_scope"), col("ref")).as("resolved_ref"))
+      .select(col("conv_id"), col("turn_idx"), col("mention_idx"), col("hop"),
+        col("side"), coalesce(col("in_scope"), col("ref")).as("resolved_ref"))
 
     val subjR = refResolved.filter(col("side") === "s")
       .withColumnRenamed("resolved_ref", "subj_res").drop("side")
     val objR = refResolved.filter(col("side") === "o")
       .withColumnRenamed("resolved_ref", "obj_res").drop("side")
 
+    val key = Seq("conv_id", "turn_idx", "mention_idx", "hop")
     rels
-      .join(subjR, Seq("conv_id", "turn_idx", "mention_idx"), "left")
-      .join(objR, Seq("conv_id", "turn_idx", "mention_idx"), "left")
+      .join(subjR, key, "left")
+      .join(objR, key, "left")
       .select(
-        col("conv_id"), col("turn_idx"), col("mention_idx"),
+        col("conv_id"), col("turn_idx"), col("mention_idx"), col("hop"),
         coalesce(col("subj_res"), col("subj")).as("subj"),
         col("pred"),
         coalesce(col("obj_res"), col("obj")).as("obj"),

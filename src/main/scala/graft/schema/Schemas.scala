@@ -41,7 +41,8 @@ case class Mention(
     obj: String, // alias_binding: target name; relation: object ref; else ""
     attr: String, // entity_def: state payload (version-chain input); else ""
     ts: Timestamp,
-    parent: String = "") // entity_def: container/base entity (extends); else ""
+    parent: String = "", // entity_def: container/base entity (extends); else ""
+    hop: Int = 0) // chain segments fan out to hops 0..n; 0 otherwise
 
 /** A relation mention with both endpoints resolved to canonical names
   * (the output of the precedence-chain resolver, reference

@@ -106,6 +106,11 @@ object Transcripts {
         concat(lit(" ; link self -[mentions]-> item:unknown_"),
           $"l_partkey".cast("string")))
         .otherwise(lit("")),
+      // two-hop chain: one segment -> two relation mentions (L4 flatMap)
+      when(k % 6 === 0,
+        concat(lit(" ; chain self -[reordered]-> a"), kS,
+          lit(" -[sourced_from]-> "), sname))
+        .otherwise(lit("")),
       // issue cross-reference (narration segment: the grammar ignores it,
       // the side-table linker extracts it with regexp_extract_all)
       when(k % 5 === 0,
@@ -166,6 +171,7 @@ SELECT conv_id, CAST(k*2 AS BIGINT), 'tool',
        'link '||sname||' -[supplies]-> a'||k||' ; link self -[ordered]-> a'||k ||
          CASE WHEN k % 3 = 0 THEN ' ; link a'||k||' -[returned_to]-> '||sname ELSE '' END ||
          CASE WHEN k % 4 = 0 THEN ' ; link self -[mentions]-> item:unknown_'||pk ELSE '' END ||
+         CASE WHEN k % 6 = 0 THEN ' ; chain self -[reordered]-> a'||k||' -[sourced_from]-> '||sname ELSE '' END ||
          CASE WHEN k % 5 = 0 THEN ' ; ref #'||(pk % 1500) ELSE '' END,
        'linker', strftime(l_shipdate,'%Y-%m-%d %H:%M:%S')
 FROM li"""
@@ -196,7 +202,7 @@ FROM li"""
     val hot = pmod(xxhash64(col("cid"), col("turn_idx"), lit(7)), lit(100L)) < hotPct
     val obj = when(hot, lit("topic:t0")).otherwise(ent)
     val aliasK = pmod(col("turn_idx").cast("long"), lit(4L)).cast("string")
-    val mode = pmod(xxhash64(col("cid"), col("turn_idx"), lit(3)), lit(3L))
+    val mode = pmod(xxhash64(col("cid"), col("turn_idx"), lit(3)), lit(4L))
     val text = when(col("turn_idx") === 0,
       concat(lit("define entity agent:a"), col("cid").cast("string")))
       .when(mode === 0,
@@ -204,8 +210,11 @@ FROM li"""
           h(5).cast("string"), lit(" ; alias a"), aliasK, lit(" => "), obj))
       .when(mode === 1,
         concat(lit("link self -[discusses]-> a"), aliasK))
-      .otherwise(
+      .when(mode === 2,
         concat(lit("link "), obj, lit(" -[relates_to]-> self")))
+      .otherwise( // two-hop chain (L4): one segment -> two relation mentions
+        concat(lit("chain self -[refines]-> a"), aliasK,
+          lit(" -[cites]-> "), obj))
     turns.select(
       concat(lit("s"), col("cid").cast("string")).as("conv_id"),
       col("turn_idx"),

@@ -32,7 +32,8 @@ object StatefulResolve {
     var st = state.getOption.getOrElse(ConvState(Map.empty, None))
     val out = scala.collection.mutable.ListBuffer[ResolvedRelation]()
     // intra-batch arrival order is arbitrary -> restore turn order
-    rows.toSeq.sortBy(m => (m.turn_idx, m.mention_idx)).foreach { m =>
+    // (hop last: chain fan-out rows share (turn_idx, mention_idx))
+    rows.toSeq.sortBy(m => (m.turn_idx, m.mention_idx, m.hop)).foreach { m =>
       m.kind match {
         case "entity_def" =>
           if (st.self.isEmpty) st = st.copy(self = Some(m.subj))

@@ -16,6 +16,7 @@ object RefOracle {
   private val DefRe = """^define entity ([A-Za-z]+:[A-Za-z0-9_#]+)(?: with qty=([0-9]+))?(?: extends ([A-Za-z]+:[A-Za-z0-9_#]+))?$""".r
   private val AliasRe = """^alias (a[0-9]+) => ([A-Za-z]+:[A-Za-z0-9_#]+)$""".r
   private val LinkRe = """^link (self|a[0-9]+|[A-Za-z]+:[A-Za-z0-9_#]+) -\[([a-z_]+)\]-> (self|a[0-9]+|[A-Za-z]+:[A-Za-z0-9_#]+)$""".r
+  private val ChainRe = """^chain (self|a[0-9]+|[A-Za-z]+:[A-Za-z0-9_#]+) -\[([a-z_]+)\]-> (self|a[0-9]+|[A-Za-z]+:[A-Za-z0-9_#]+) -\[([a-z_]+)\]-> (self|a[0-9]+|[A-Za-z]+:[A-Za-z0-9_#]+)$""".r
 
   /** Emit the (subj, pred, obj) triple set with knownEntitiesOnly semantics. */
   def triples(corpus: Seq[T]): Set[(String, String, String)] = {
@@ -40,6 +41,14 @@ object RefOracle {
               else if (r.matches("^a[0-9]+$")) aliases.getOrElse(r, r)
               else r
             raw += ((res(s), p, res(o)))
+          case ChainRe(s, p1, mid, p2, o) =>
+            // chained-call split: one mention -> two triples
+            def res(r: String): String =
+              if (r == "self") self.getOrElse(r)
+              else if (r.matches("^a[0-9]+$")) aliases.getOrElse(r, r)
+              else r
+            raw += ((res(s), p1, res(mid)))
+            raw += ((res(mid), p2, res(o)))
           case _ => () // narration
         }
       }
