@@ -72,12 +72,8 @@ object SparkEntry {
   private def qNodes(s: SparkSession, dir: String): DataFrame =
     graft.graph.Pipeline.nodes(s, dir)
 
-  private def qNodesMinted(s: SparkSession, dir: String): DataFrame = {
-    val ents = graft.graph.Pipeline.entityNames(s, dir)
-    Canonical.mintedNodes(
-      graft.graph.Pipeline.nodes(s, dir),
-      Triples.mintedNames(resolvedOf(s, dir), ents))
-  }
+  private def qNodesMinted(s: SparkSession, dir: String): DataFrame =
+    graft.graph.Pipeline.mintedNodes(s, dir)
 
   private def qEdges(s: SparkSession, dir: String): DataFrame = {
     graft.graph.Pipeline.edges(s, dir).select(

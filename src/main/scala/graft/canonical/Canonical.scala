@@ -41,8 +41,11 @@ object Canonical {
   def denseIdsBucketed(names: DataFrame, keyCol: String = "canonical_name",
       idCol: String = "node_id", hexChars: Int = 2): DataFrame = {
     val spark = names.sparkSession
+    // the bucketed input is consumed twice (count pass + id pass):
+    // materialize it once so the upstream plan doesn't execute twice
     val withB = names.withColumn("_b",
       substring(md5(col(keyCol)), 1, hexChars))
+      .localCheckpoint()
     val counts = withB.groupBy("_b").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
     val offsets = counts.map(_._1).zip(counts.scanLeft(0L)(_ + _._2))

@@ -49,6 +49,13 @@ object Pipeline {
       Triples.knownOnly(resolved(spark, sfDir), entityNames(spark, sfDir))
     }
 
+  def mintedNodes(spark: SparkSession, sfDir: String): DataFrame =
+    StageStore.getOrCreate(spark, sfDir, "minted_nodes") {
+      Canonical.mintedNodes(
+        nodes(spark, sfDir),
+        Triples.mintedNames(resolved(spark, sfDir), entityNames(spark, sfDir)))
+    }
+
   def edges(spark: SparkSession, sfDir: String): DataFrame =
     StageStore.getOrCreate(spark, sfDir, "edges") {
       Canonical.edges(triples(spark, sfDir), nodes(spark, sfDir))
@@ -72,6 +79,7 @@ object Pipeline {
     resolved(spark, sfDir)
     nodes(spark, sfDir)
     triples(spark, sfDir)
+    mintedNodes(spark, sfDir)
     val e = edges(spark, sfDir).count()
     versionNodes(spark, sfDir)
     versionEdges(spark, sfDir)
