@@ -36,6 +36,12 @@ object OpsEntry {
 
     "doc_media_meta" -> ((s, dir) => Multimodal.extract(s, docs(s, dir))),
 
+    // normalization-for-hashing + sha-256 content digest (X6 + X7)
+    "doc_norm_hash" -> ((s, dir) => docs(s, dir).select(
+      col("doc_id"),
+      sha2(TextOps.normalizeForHash(col("text")), 256).as("norm_hash"),
+      length(TextOps.normalizeForHash(col("text"))).cast("long").as("norm_len"))),
+
     "emb_ann_topk" -> ((s, dir) => Similarity.bruteForceTopK(emb(s, dir))),
 
     "emb_lsh_buckets" -> ((s, dir) => Similarity.lshBuckets(emb(s, dir))),
@@ -184,6 +190,12 @@ object OpsEntry {
         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_ppm DESC, neighbor_id) AS BIGINT) AS rank
         |  FROM s
         |) WHERE rank <= 10""".stripMargin,
+
+    "doc_norm_hash" ->
+      """SELECT doc_id,
+        |  sha256(trim(regexp_replace(regexp_replace(lower(text), '#[^\n]*', '', 'g'), '\s+', ' ', 'g'))) AS norm_hash,
+        |  CAST(length(trim(regexp_replace(regexp_replace(lower(text), '#[^\n]*', '', 'g'), '\s+', ' ', 'g'))) AS BIGINT) AS norm_len
+        |FROM documents""".stripMargin,
 
     // one Lloyd iteration of k-means over micro-unit-quantized embeddings:
     // integer distances -> assignments are exact across engines

@@ -80,6 +80,17 @@ object RelEntry {
     "ev_pivot" -> ((s, dir) => Events.userTypePivot(ev(s, dir))),
     "ev_props" -> ((s, dir) => Events.propsRollup(ev(s, dir))),
     "ev_clean_buyers" -> ((s, dir) => Events.purchasersWithoutErrors(ev(s, dir))),
+
+    // typed JSON decode of the props payload (X8: from_json, not regex)
+    "ev_json" -> ((s, dir) => ev(s, dir)
+      .select(col("event_type"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").as("k"))
+      .groupBy("event_type")
+      .agg(sum(col("k")).cast("long").as("sum_k"),
+        max(col("k")).cast("long").as("max_k"),
+        count(lit(1)).as("n_events"))),
   )
 
   private val centsSql: String => String =
@@ -166,6 +177,13 @@ object RelEntry {
       """SELECT event_type,
         |  CAST(sum(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS BIGINT) AS sum_k,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "ev_json" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+        |  CAST(max(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS max_k,
         |  CAST(count(*) AS BIGINT) AS n_events
         |FROM events GROUP BY event_type""".stripMargin,
 

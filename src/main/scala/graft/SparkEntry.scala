@@ -104,6 +104,19 @@ object SparkEntry {
           coalesce(col("max_attr"), lit("")).as("max_attr")).as("props"))
   }
 
+  /** Identifier-split vocabulary (X5): canonical names broken into
+    * lowercase words (dots/snake/camel/ACRONYM), top-5 per node type. */
+  private def qNameWords(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("node_type").orderBy(col("n").desc, col("word"))
+    graft.graph.Pipeline.nodes(s, dir)
+      .select(col("node_type"),
+        explode(graft.ops.TextOps.identifierWords(col("canonical_name"))).as("word"))
+      .groupBy("node_type", "word").agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+  }
+
   private def qHierarchyNodes(s: SparkSession, dir: String): DataFrame =
     graft.graph.Hierarchy.nodes(Transcripts.fromTpch(s, dir))
 
@@ -315,6 +328,7 @@ object SparkEntry {
     "kg_hierarchy_nodes" -> (qHierarchyNodes _),
     "kg_hierarchy_edges" -> (qHierarchyEdges _),
     "kg_nodes_rich" -> (qNodesRich _),
+    "kg_name_words" -> (qNameWords _),
   ) ++ OpsEntry.queries ++ RelEntry.queries
 
   // ---- DuckDB oracle (structural reconstruction; never parses text) ----
@@ -558,6 +572,25 @@ object SparkEntry {
         |GROUP BY entity""".stripMargin),
 
     "kg_components" -> componentsOracle,
+
+    "kg_name_words" -> withBase(
+      """, words AS (
+        |  SELECT node_type,
+        |         unnest(list_filter(string_split(lower(
+        |           regexp_replace(regexp_replace(regexp_replace(canonical_name,
+        |             '([A-Z]+)([A-Z][a-z])', '\1 \2', 'g'),
+        |             '([a-z0-9])([A-Z])', '\1 \2', 'g'),
+        |             '[^A-Za-z0-9]+', ' ', 'g')), ' '), w -> w <> '')) AS word
+        |  FROM nodes
+        |),
+        |counted AS (
+        |  SELECT node_type, word, CAST(count(*) AS BIGINT) AS n
+        |  FROM words GROUP BY node_type, word
+        |)
+        |SELECT node_type, word, n, rk FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY node_type ORDER BY n DESC, word) AS BIGINT) AS rk
+        |  FROM counted
+        |) WHERE rk <= 5""".stripMargin),
 
     "kg_nodes_rich" -> withBase(
       """, defs AS (

@@ -76,6 +76,23 @@ object TextOps {
         lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long").as("re_tokens"),
       length(col(textCol)).cast("long").as("n_chars"))
 
+  /** Identifier split (reference semantic_clustering.py:104-120): dots,
+    * snake_case, camelCase and ACRONYMCase all break into lowercase words —
+    * a chained regexp_replace, no UDF. */
+  def identifierWords(name: Column): Column =
+    filter(
+      split(lower(regexp_replace(regexp_replace(regexp_replace(name,
+        "([A-Z]+)([A-Z][a-z])", "$1 $2"),
+        "([a-z0-9])([A-Z])", "$1 $2"),
+        "[^A-Za-z0-9]+", " ")), " "),
+      w => w =!= "")
+
+  /** Normalization for hashing (reference function_versioning.py:19-28):
+    * lowercase, strip #-to-EOL comments, collapse whitespace, trim. */
+  def normalizeForHash(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text),
+      "#[^\\n]*", ""), "\\s+", " "))
+
   /** Document fingerprint: 4 min-wise hashes over word 5-gram shingles
     * (rolling-hash winnowing, expressed as seeded md5 minima). Stable
     * under small edits away from the minimal shingles. */
