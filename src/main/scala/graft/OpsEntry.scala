@@ -192,10 +192,14 @@ object OpsEntry {
         |) WHERE rank <= 10""".stripMargin,
 
     "doc_norm_hash" ->
-      """SELECT doc_id,
-        |  sha256(trim(regexp_replace(regexp_replace(lower(text), '#[^\n]*', '', 'g'), '\s+', ' ', 'g'))) AS norm_hash,
-        |  CAST(length(trim(regexp_replace(regexp_replace(lower(text), '#[^\n]*', '', 'g'), '\s+', ' ', 'g'))) AS BIGINT) AS norm_len
-        |FROM documents""".stripMargin,
+      """WITH n AS (
+        |  SELECT doc_id,
+        |         regexp_replace(trim(regexp_replace(regexp_replace(lower(text), '#[^\n]*', '', 'g'), '\s+', ' ', 'g')), '^["'']+|["'']+$', '', 'g') AS norm
+        |  FROM documents
+        |)
+        |SELECT doc_id, sha256(norm) AS norm_hash,
+        |       CAST(length(norm) AS BIGINT) AS norm_len
+        |FROM n""".stripMargin,
 
     // one Lloyd iteration of k-means over micro-unit-quantized embeddings:
     // integer distances -> assignments are exact across engines

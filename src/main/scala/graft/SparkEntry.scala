@@ -104,6 +104,16 @@ object SparkEntry {
           coalesce(col("max_attr"), lit("")).as("max_attr")).as("props"))
   }
 
+  /** Turn classifier (S2: the config-file classifier analog) — a pure
+    * when-chain over tool/text content, no UDF. */
+  private def qTurnRoles(s: SparkSession, dir: String): DataFrame =
+    Transcripts.fromTpch(s, dir).select(
+      col("conv_id"), long("turn_idx"),
+      when(col("tool") =!= "", "tool_call")
+        .when(col("text").startsWith("define entity"), "definition")
+        .when(col("text").startsWith("link ") || col("text").startsWith("chain "), "relation")
+        .otherwise("narration").as("turn_class"))
+
   /** Identifier-split vocabulary (X5): canonical names broken into
     * lowercase words (dots/snake/camel/ACRONYM), top-5 per node type. */
   private def qNameWords(s: SparkSession, dir: String): DataFrame = {
@@ -329,6 +339,7 @@ object SparkEntry {
     "kg_hierarchy_edges" -> (qHierarchyEdges _),
     "kg_nodes_rich" -> (qNodesRich _),
     "kg_name_words" -> (qNameWords _),
+    "kg_turn_roles" -> (qTurnRoles _),
   ) ++ OpsEntry.queries ++ RelEntry.queries
 
   // ---- DuckDB oracle (structural reconstruction; never parses text) ----
@@ -572,6 +583,11 @@ object SparkEntry {
         |GROUP BY entity""".stripMargin),
 
     "kg_components" -> componentsOracle,
+
+    "kg_turn_roles" -> withBase(
+      """SELECT conv_id, CAST(0 AS BIGINT) AS turn_idx, 'narration' AS turn_class FROM oc
+        |UNION ALL SELECT conv_id, CAST(2*k-1 AS BIGINT), 'definition' FROM li
+        |UNION ALL SELECT conv_id, CAST(2*k AS BIGINT), 'tool_call' FROM li""".stripMargin),
 
     "kg_name_words" -> withBase(
       """, words AS (

@@ -87,11 +87,15 @@ object TextOps {
         "[^A-Za-z0-9]+", " ")), " "),
       w => w =!= "")
 
-  /** Normalization for hashing (reference function_versioning.py:19-28):
-    * lowercase, strip #-to-EOL comments, collapse whitespace, trim. */
+  /** Normalization for hashing (reference function_versioning.py:19-28 +
+    * the docstring quote stripping, PythonAstAdapter.py:171-187):
+    * lowercase, strip #-to-EOL comments, collapse whitespace, trim, strip
+    * wrapping quotes. */
   def normalizeForHash(text: Column): Column =
-    trim(regexp_replace(regexp_replace(lower(text),
-      "#[^\\n]*", ""), "\\s+", " "))
+    regexp_replace(
+      trim(regexp_replace(regexp_replace(lower(text),
+        "#[^\\n]*", ""), "\\s+", " ")),
+      "^[\"']+|[\"']+$", "")
 
   /** Document fingerprint: 4 min-wise hashes over word 5-gram shingles
     * (rolling-hash winnowing, expressed as seeded md5 minima). Stable

@@ -142,4 +142,23 @@ class OpsSpec extends SparkSpec {
     assert(capped.count() === 0L, "df-cut must drop the hot token, leaving no candidates")
     assert(uncapped.count() > 0L)
   }
+
+  test("identifier split: dots, snake, camel, ACRONYM -> lowercase words") {
+    import spark.implicits._
+    val got = Seq("pkg.module.HTTPServerImpl_v2", "supplier:Supplier#0001")
+      .toDF("n")
+      .select(graft.ops.TextOps.identifierWords(col("n")))
+      .collect().map(_.getSeq[String](0))
+    assert(got(0) === Seq("pkg", "module", "http", "server", "impl", "v2"))
+    assert(got(1) === Seq("supplier", "supplier", "0001"))
+  }
+
+  test("normalize-for-hash strips comments, whitespace runs, wrapping quotes") {
+    import spark.implicits._
+    val got = Seq("\"Some   TEXT #comment here\"")
+      .toDF("t")
+      .select(graft.ops.TextOps.normalizeForHash(col("t")))
+      .collect()(0).getString(0)
+    assert(got === "some text")
+  }
 }
