@@ -6,7 +6,6 @@ import org.apache.spark.sql.functions._
 import graft.sources.Transcripts
 import graft.extract.Extract
 import graft.link.Resolve
-import graft.triples.Triples
 import graft.canonical.{Canonical, ConnectedComponents}
 import graft.version.Versions
 
