@@ -81,6 +81,15 @@ object RelEntry {
     "ev_props" -> ((s, dir) => Events.propsRollup(ev(s, dir))),
     "ev_clean_buyers" -> ((s, dir) => Events.purchasersWithoutErrors(ev(s, dir))),
 
+    // deterministic ordered limit (O1/O2/O5: head-n with a total order) —
+    // plans as TakeOrderedAndProject: per-partition top-n, then one
+    // driver-side merge of n*partitions rows, never a global sort
+    "ev_latest" -> ((s, dir) => ev(s, dir)
+      .orderBy(col("ts").desc, col("event_id"))
+      .limit(10)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))),
+
     // typed JSON decode of the props payload (X8: from_json, not regex)
     "ev_json" -> ((s, dir) => ev(s, dir)
       .select(col("event_type"),
@@ -179,6 +188,11 @@ object RelEntry {
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
         |  CAST(count(*) AS BIGINT) AS n_events
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "ev_latest" ->
+      """SELECT event_id, user_id, event_type,
+        |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+        |FROM events ORDER BY ts DESC, event_id LIMIT 10""".stripMargin,
 
     "ev_json" ->
       """SELECT event_type,

@@ -90,15 +90,18 @@ object Resolve {
       .select(col("conv_id"), col("turn_idx"), col("mention_idx"), col("hop"),
         col("side"), coalesce(col("in_scope"), col("ref")).as("resolved_ref"))
 
-    val subjR = refResolved.filter(col("side") === "s")
-      .withColumnRenamed("resolved_ref", "subj_res").drop("side")
-    val objR = refResolved.filter(col("side") === "o")
-      .withColumnRenamed("resolved_ref", "obj_res").drop("side")
+    // pivot both sides into one row per mention key (each (key, side) is
+    // unique, so min() just picks the value): ONE join back to the
+    // relation stream instead of two — one less shuffle+sort of the
+    // mention-key stream
+    val bySide = refResolved
+      .groupBy("conv_id", "turn_idx", "mention_idx", "hop")
+      .agg(
+        min(when(col("side") === "s", col("resolved_ref"))).as("subj_res"),
+        min(when(col("side") === "o", col("resolved_ref"))).as("obj_res"))
 
-    val key = Seq("conv_id", "turn_idx", "mention_idx", "hop")
     rels
-      .join(subjR, key, "left")
-      .join(objR, key, "left")
+      .join(bySide, Seq("conv_id", "turn_idx", "mention_idx", "hop"), "left")
       .select(
         col("conv_id"), col("turn_idx"), col("mention_idx"), col("hop"),
         coalesce(col("subj_res"), col("subj")).as("subj"),
