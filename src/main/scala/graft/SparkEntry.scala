@@ -129,17 +129,18 @@ object SparkEntry {
   private def qHierarchyNodes(s: SparkSession, dir: String): DataFrame =
     graft.graph.Hierarchy.nodes(Transcripts.fromTpch(s, dir))
 
-  private def qHierarchyEdges(s: SparkSession, dir: String): DataFrame = {
-    val t = Transcripts.fromTpch(s, dir)
-    graft.graph.Hierarchy.edges(t, graft.graph.Hierarchy.nodes(t))
-  }
+  private def qHierarchyEdges(s: SparkSession, dir: String): DataFrame =
+    graft.graph.Hierarchy.graph(Transcripts.fromTpch(s, dir))._2
 
   private def qSegmentNodes(s: SparkSession, dir: String): DataFrame =
     Extract.segmentNodes(Transcripts.fromTpch(s, dir)).select(
       col("conv_id"), long("turn_idx"), long("seg_idx"), col("kind"))
 
   private def qSegmentEdges(s: SparkSession, dir: String): DataFrame =
-    Extract.segmentEdges(Extract.segmentNodes(Transcripts.fromTpch(s, dir)))
+    // materialize the segment nodes once: both the lead window and the
+    // composite-key join arm consume them (rows are narrow)
+    Extract.segmentEdges(
+      Extract.segmentNodes(Transcripts.fromTpch(s, dir)).localCheckpoint())
       .select(col("conv_id"), long("turn_idx"), long("src_seg"),
         long("dst_seg"), col("src_kind"), col("dst_kind"))
 

@@ -16,9 +16,20 @@ object Hierarchy {
     transcripts.filter(col("turn_idx") === 0)
       .select(col("conv_id"), date_format(col("ts"), "yyyy-MM").as("month"))
 
+  /** Nodes + edges off ONE materialized turn-0 projection (the transcript
+    * derivation would otherwise re-run for every consumer: node names,
+    * bucketed-ID passes, and both edge arms). */
+  def graph(transcripts: DataFrame): (DataFrame, DataFrame) = {
+    val t0 = turn0(transcripts).localCheckpoint()
+    val n = nodesFrom(t0)
+    (n, edgesFrom(t0, n))
+  }
+
   /** (hier_id, name, is_folder): corpus root + month folders + conv leaves. */
-  def nodes(transcripts: DataFrame): DataFrame = {
-    val t0 = turn0(transcripts)
+  def nodes(transcripts: DataFrame): DataFrame =
+    nodesFrom(turn0(transcripts).localCheckpoint())
+
+  private def nodesFrom(t0: DataFrame): DataFrame = {
     val root = t0.sparkSession.range(1)
       .select(lit("corpus:all").as("name"), lit(true).as("is_folder"))
     val names = root
@@ -32,8 +43,10 @@ object Hierarchy {
 
   /** Parent->child `contains` edges with both endpoints remapped to dense
     * IDs through size-gated joins. */
-  def edges(transcripts: DataFrame, hierNodes: DataFrame): DataFrame = {
-    val t0 = turn0(transcripts)
+  def edges(transcripts: DataFrame, hierNodes: DataFrame): DataFrame =
+    edgesFrom(turn0(transcripts).localCheckpoint(), hierNodes)
+
+  private def edgesFrom(t0: DataFrame, hierNodes: DataFrame): DataFrame = {
     val pairs = t0
       .select(lit("corpus:all").as("src"),
         concat(lit("month:"), col("month")).as("dst")).distinct()
