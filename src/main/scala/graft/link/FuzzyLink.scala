@@ -20,18 +20,22 @@ import org.apache.spark.sql.functions._
   */
 object FuzzyLink {
 
-  /** Character trigrams of a (short) name, padded so prefixes/suffixes
-    * count: "^ab", "abc", ..., "z$" — distinct set. Empty names yield an
-    * empty set (Spark's `sequence(1, 0)` would otherwise produce a bogus
-    * descending range where the DuckDB oracle's `range()` is empty). */
-  def charTrigramsCol(name: Column): Column = {
-    val padded = concat(lit("^"), name, lit("$"))
-    when(length(name) >= 1,
+  /** Trigrams over an already-materialized padded-name COLUMN ("^name$").
+    * The lambda must reference a bound attribute — a non-attribute subtree
+    * re-evaluates once per element inside a higher-order function (see
+    * Dedup.shinglesOfWords). Empty names yield an empty set (Spark's
+    * `sequence(1, 0)` would otherwise produce a bogus descending range
+    * where the DuckDB oracle's `range()` is empty). */
+  def trigramsOfPadded(padded: Column): Column =
+    when(length(padded) >= 3,
       array_distinct(transform(
         sequence(lit(1), length(padded) - 2),
         i => padded.substr(i, lit(3)))))
       .otherwise(array().cast("array<string>"))
-  }
+
+  /** Convenience per-row form for small inputs (candidate scoring). */
+  def charTrigramsCol(name: Column): Column =
+    trigramsOfPadded(concat(lit("^"), name, lit("$")))
 
   /** MinHash band buckets over char trigrams (k seeds, rowsPerBand).
     * Signatures via explode + groupBy-min aggregates (one shuffle,
@@ -40,8 +44,9 @@ object FuzzyLink {
     * candidates), which matches the oracle's empty-set semantics. */
   def nameBuckets(df: DataFrame, nameCol: String, k: Int = 8,
       rowsPerBand: Int = 2): DataFrame = {
-    val tg = df.select(col(nameCol),
-      explode(charTrigramsCol(col(nameCol))).as("_tg"))
+    val tg = df
+      .select(col(nameCol), concat(lit("^"), col(nameCol), lit("$")).as("_p"))
+      .select(col(nameCol), explode(trigramsOfPadded(col("_p"))).as("_tg"))
     val sigs = (0 until k).map(s =>
       min(md5(concat(lit(s"$s|"), col("_tg")))).as(s"m$s"))
     val withSig = tg.groupBy(col(nameCol)).agg(sigs.head, sigs.tail: _*)

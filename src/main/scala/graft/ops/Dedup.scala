@@ -13,16 +13,26 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Word n-gram shingles of a text column (assumes >= n words falls back
-    * to the whole text otherwise). Pure column expression (codegen). */
-  def shingles(text: Column, n: Int): Column = {
-    val w = split(text, " ")
+  /** Shingles over an already-materialized words-array COLUMN. Higher-order
+    * functions evaluate their lambda interpreted, re-computing any
+    * non-attribute subtree once per element — so `w` must be a bound
+    * attribute (project `split(text)` in a previous select), never the
+    * `split` expression itself (measured ~250 redundant splits/doc
+    * otherwise). `orig` is the fallback single shingle for texts shorter
+    * than n words. */
+  def shinglesOfWords(w: Column, orig: Column, n: Int): Column =
     when(size(w) >= n,
       transform(
         sequence(lit(1), size(w) - (n - 1)),
         i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j)): _*)))
-      .otherwise(array(text))
-  }
+      .otherwise(array(orig))
+
+  /** Word n-gram shingles of a text column (assumes >= n words, falls back
+    * to the whole text otherwise). Convenience form for per-row use on
+    * SMALL inputs (candidate verification); corpus-scale paths go through
+    * [[shinglesOfWords]] with a materialized words column. */
+  def shingles(text: Column, n: Int): Column =
+    shinglesOfWords(split(text, " "), text, n)
 
   /** One minhash value: lexicographic min of md5(seed || '|' || shingle).
     * A distinct min-wise hash per seed.
@@ -42,8 +52,12 @@ object Dedup {
     * [[minhash]] (min over duplicates == min over distinct). */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
       ngram: Int, k: Int, prefix: String = "m"): DataFrame = {
-    val sh = docs.select(col(idCol),
-      explode(array_distinct(shingles(col(textCol), ngram))).as("_sg"))
+    // words materialized as an attribute BEFORE the shingle lambda (see
+    // shinglesOfWords: a non-attribute subtree re-evaluates per element)
+    val words = docs.select(col(idCol), col(textCol).as("_t"),
+      split(col(textCol), " ").as("_w"))
+    val sh = words.select(col(idCol),
+      explode(array_distinct(shinglesOfWords(col("_w"), col("_t"), ngram))).as("_sg"))
     val aggs = (0 until k).map(s =>
       min(md5(concat(lit(s"$s|"), col("_sg")))).as(s"$prefix$s"))
     sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
@@ -90,8 +104,10 @@ object Dedup {
     * similarity >= threshold. */
   def verifyJaccard(docs: DataFrame, pairs: DataFrame, threshold: Double,
       idCol: String = "doc_id", textCol: String = "text", ngram: Int = 3): DataFrame = {
-    val withSh = docs.select(col(idCol),
-      array_distinct(shingles(col(textCol), ngram)).as("sh"))
+    val withSh = docs
+      .select(col(idCol), col(textCol).as("_t"), split(col(textCol), " ").as("_w"))
+      .select(col(idCol),
+        array_distinct(shinglesOfWords(col("_w"), col("_t"), ngram)).as("sh"))
     pairs
       .join(withSh.select(col(idCol).as("a"), col("sh").as("sha")), "a")
       .join(withSh.select(col(idCol).as("b"), col("sh").as("shb")), "b")
