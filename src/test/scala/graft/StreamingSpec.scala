@@ -64,4 +64,27 @@ class StreamingSpec extends SparkSpec {
       assert(n === 2L)
     } finally q.stop()
   }
+
+  test("mention extraction runs unchanged under Structured Streaming") {
+    // the extraction frontend is stateless column expressions, so the same
+    // code is a valid streaming transform: stream a transcript micro-batch
+    // through Extract.mentions and compare against the batch result.
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val turns = Seq(
+      ("c1", 0, "user", "define entity t:x with qty=3 extends cat:c ; alias a1 => t:x", "", t("2024-01-01 00:00:00")),
+      ("c1", 1, "tool", "link self -[uses]-> a1 ; chain a1 -[p]-> t:x -[q]-> t:x", "lk", t("2024-01-01 00:01:00")))
+    val mem = MemoryStream[(String, Int, String, String, String, Timestamp)]
+    val cols = Seq("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val stream = graft.extract.Extract.mentions(mem.toDF().toDF(cols: _*))
+    val q = stream.writeStream.format("memory")
+      .queryName("stream_mentions").outputMode("append").start()
+    try {
+      mem.addData(turns: _*)
+      q.processAllAvailable()
+      val got = rowSet(spark.table("stream_mentions"))
+      val want = rowSet(graft.extract.Extract.mentions(turns.toDF(cols: _*)))
+      assert(got === want)
+      assert(got.size === 5) // 1 def + 1 alias + 1 link + 2 chain hops
+    } finally q.stop()
+  }
 }
