@@ -20,19 +20,24 @@ class FuzzSpec extends SparkSpec {
     (0 until (2 + rnd.nextInt(4))).flatMap { c =>
       val convId = s"f$c"
       (0 until (3 + rnd.nextInt(7))).map { t =>
+        def ref = rnd.nextInt(3) match {
+          case 0 => "self"
+          case 1 => s"a${rnd.nextInt(3)}"
+          case _ => ents(rnd.nextInt(ents.size))
+        }
         val segs = (0 to rnd.nextInt(2)).map { _ =>
-          rnd.nextInt(6) match {
+          rnd.nextInt(9) match {
             case 0 => s"define entity ${ents(rnd.nextInt(ents.size))}"
             case 1 => s"define entity ${ents(rnd.nextInt(ents.size))} with qty=${rnd.nextInt(100)}"
             case 2 => s"alias a${rnd.nextInt(3)} => ${ents(rnd.nextInt(ents.size))}"
             case 3 =>
-              def ref = rnd.nextInt(3) match {
-                case 0 => "self"
-                case 1 => s"a${rnd.nextInt(3)}"
-                case _ => ents(rnd.nextInt(ents.size))
-              }
               s"link $ref -[${preds(rnd.nextInt(preds.size))}]-> $ref"
             case 4 => "some narration noise"
+            case 5 => // extends clause (containment grammar)
+              s"define entity ${ents(rnd.nextInt(ents.size))} with qty=${rnd.nextInt(100)} extends cat:c${rnd.nextInt(3)}"
+            case 6 => // two-hop chain (1 segment -> 2 relation mentions)
+              s"chain $ref -[${preds(rnd.nextInt(preds.size))}]-> $ref -[${preds(rnd.nextInt(preds.size))}]-> $ref"
+            case 7 => s"ref #${rnd.nextInt(2000)}" // issue cross-reference (narration to the grammar)
             case _ => "link broken -> syntax [x]" // malformed
           }
         }
