@@ -161,4 +161,27 @@ class OpsSpec extends SparkSpec {
       .collect()(0).getString(0)
     assert(got === "some text")
   }
+
+  test("lloyd clustering: points seeded near a centroid join its cluster; centroids broadcast") {
+    import spark.implicits._
+    // 8 seed vectors (vec_id < 8) at distinct corners, then satellites
+    // displaced by a tiny epsilon from their seed
+    val dim = 16
+    def corner(c: Int) = (0 until dim).map(d => if ((c >> (d % 3)) % 2 == 1) 1.0f else -1.0f)
+    val seeds = (0 until 8).map(c => (c.toLong, corner(c)))
+    val sats = (0 until 64).map { i =>
+      val c = i % 8
+      (100L + i, corner(c).updated(0, corner(c)(0) + 0.001f * ((i / 8) + 1)))
+    }
+    val emb = (seeds ++ sats).toDF("vec_id", "embedding")
+    val got = graft.ops.Clustering.lloydStep(emb, k = 8)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastNestedLoopJoin"),
+      s"centroids must broadcast:\n${plan.take(1200)}")
+    val assign = got.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0 until 64).foreach { i =>
+      assert(assign(100L + i) === assign((i % 8).toLong),
+        s"satellite $i must land in its seed's cluster")
+    }
+  }
 }
