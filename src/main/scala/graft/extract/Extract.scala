@@ -50,10 +50,13 @@ object Extract {
       col("conv_id"), col("turn_idx"), col("ts"),
       posexplode(split(col("text"), segmentSep)).as(Seq("mention_idx", "seg")))
 
-    val isDef = col("seg").rlike(defRe)
-    val isAlias = col("seg").rlike(aliasRe)
-    val isLink = col("seg").rlike(linkRe)
-    val isChain = col("seg").rlike(chainRe)
+    // cheap prefix dispatch short-circuits the anchored regex for the
+    // 3 of 4 productions that can't match (every production has a fixed
+    // leading keyword); the full regex still validates the match
+    val isDef = col("seg").startsWith("define entity ") && col("seg").rlike(defRe)
+    val isAlias = col("seg").startsWith("alias ") && col("seg").rlike(aliasRe)
+    val isLink = col("seg").startsWith("link ") && col("seg").rlike(linkRe)
+    val isChain = col("seg").startsWith("chain ") && col("seg").rlike(chainRe)
 
     def m(kind: String, subj: Column, pred: Column, obj: Column,
         attr: Column, parent: Column) =
@@ -95,10 +98,10 @@ object Extract {
     transcripts.select(col("conv_id"), col("turn_idx"),
       posexplode(split(col("text"), segmentSep)).as(Seq("seg_idx", "seg")))
       .select(col("conv_id"), col("turn_idx"), col("seg_idx"),
-        when(col("seg").rlike(defRe), "entity_def")
-          .when(col("seg").rlike(aliasRe), "alias_binding")
-          .when(col("seg").rlike(linkRe), "relation")
-          .when(col("seg").rlike(chainRe), "chain")
+        when(col("seg").startsWith("define entity ") && col("seg").rlike(defRe), "entity_def")
+          .when(col("seg").startsWith("alias ") && col("seg").rlike(aliasRe), "alias_binding")
+          .when(col("seg").startsWith("link ") && col("seg").rlike(linkRe), "relation")
+          .when(col("seg").startsWith("chain ") && col("seg").rlike(chainRe), "chain")
           .otherwise("narration").as("kind"))
   }
 
