@@ -175,14 +175,11 @@ object SparkEntry {
       .distinct()
     val allNodes = qNodes(s, dir).unionByName(qNodesMinted(s, dir))
       .select(col("canonical_name"), col("node_id"))
-    // node table scales with the corpus: size-gated joins (broadcast while
-    // small, salted shuffle join above the gate — Joins.innerSkewSafe)
-    val withSrc = graft.canonical.Joins.innerSkewSafe(
-      corefs, allNodes.withColumnRenamed("canonical_name", "subj")
-        .withColumnRenamed("node_id", "src"), "subj", saltFrom = Seq("obj"))
-    val edges = graft.canonical.Joins.innerSkewSafe(
-      withSrc, allNodes.withColumnRenamed("canonical_name", "obj")
-        .withColumnRenamed("node_id", "dst"), "obj", saltFrom = Seq("subj"))
+    // node table scales with the corpus: size-gated remap (broadcast while
+    // small, salted shuffle join above the gate — Joins.remapBoth)
+    val edges = graft.canonical.Joins.remapBoth(
+      corefs, allNodes, "canonical_name", "node_id",
+      "subj", "obj", "src", "dst")
       .select(col("src"), col("dst"))
     val verts = edges.select(col("src").as("id"))
       .union(edges.select(col("dst").as("id"))).distinct()
@@ -262,13 +259,9 @@ object SparkEntry {
       .filter(col("kind") === "entity_def" && col("parent") =!= "")
       .select(col("subj").as("child"), col("parent"))
       .distinct()
-    val n = graft.graph.Pipeline.nodes(s, dir)
-    val withChild = graft.canonical.Joins.innerSkewSafe(pairs,
-      n.select(col("canonical_name").as("child"), col("node_id").as("child_id")),
-      "child", saltFrom = Seq("parent"))
-    val both = graft.canonical.Joins.innerSkewSafe(withChild,
-      n.select(col("canonical_name").as("parent"), col("node_id").as("parent_id")),
-      "parent", saltFrom = Seq("child"))
+    val both = graft.canonical.Joins.remapBoth(pairs,
+      graft.graph.Pipeline.nodes(s, dir), "canonical_name", "node_id",
+      "child", "parent", "child_id", "parent_id")
     both.select(
       lit("inherits_from").as("edge_type"),
       col("child_id").as("src_id"), col("parent_id").as("dst_id"),

@@ -52,4 +52,23 @@ object Joins {
     * appears once): gate the hint, let AQE plan the big case. */
   def antiDistinct(left: DataFrame, right: DataFrame, key: String): DataFrame =
     left.join(dim(right), Seq(key), "left_anti")
+
+  /** Remap both endpoint-name columns of an edge-pair frame to IDs through
+    * two size-gated joins (the shared shape of component/containment/
+    * hierarchy edge building). `nodes` must expose (nameCol, idCol);
+    * output = pairs + (srcIdCol, dstIdCol).
+    *
+    * Note the gate reads plan statistics: node tables derived from
+    * localCheckpoint'd inputs have no reliable estimate and conservatively
+    * take the salted shuffle path — correct at every scale, broadcast-fast
+    * only when the committed-table stats prove the side small. */
+  def remapBoth(pairs: DataFrame, nodes: DataFrame,
+      nameCol: String, idCol: String,
+      srcCol: String, dstCol: String,
+      srcIdCol: String, dstIdCol: String, salts: Int = 8): DataFrame = {
+    val src = nodes.select(col(nameCol).as(srcCol), col(idCol).as(srcIdCol))
+    val dst = nodes.select(col(nameCol).as(dstCol), col(idCol).as(dstIdCol))
+    val withSrc = innerSkewSafe(pairs, src, srcCol, saltFrom = Seq(dstCol), salts)
+    innerSkewSafe(withSrc, dst, dstCol, saltFrom = Seq(srcCol), salts)
+  }
 }

@@ -76,9 +76,15 @@ object Extract {
         m("relation", g(chainRe, 3), g(chainRe, 4), g(chainRe, 5), e, e)))
 
     segs
-      .filter(expanded.isNotNull) // narration -> no mention rows
+      // project the expansion ONCE as a bound attribute: Spark shares no
+      // subexpressions between Filter and Generate, so filtering on the
+      // raw expression and then exploding it would run every regex +
+      // struct build twice per segment
       .select(col("conv_id"), col("turn_idx"), col("mention_idx"), col("ts"),
-        posexplode(expanded).as(Seq("hop", "m")))
+        expanded.as("_ms"))
+      .filter(col("_ms").isNotNull) // narration -> no mention rows
+      .select(col("conv_id"), col("turn_idx"), col("mention_idx"), col("ts"),
+        posexplode(col("_ms")).as(Seq("hop", "m")))
       .select(col("conv_id"), col("turn_idx"), col("mention_idx"),
         col("m.kind").as("kind"), col("m.subj").as("subj"),
         col("m.pred").as("pred"), col("m.obj").as("obj"),

@@ -52,12 +52,8 @@ object Hierarchy {
         concat(lit("month:"), col("month")).as("dst")).distinct()
       .unionByName(t0.select(concat(lit("month:"), col("month")).as("src"),
         concat(lit("conv:"), col("conv_id")).as("dst")))
-    val withSrc = Joins.innerSkewSafe(pairs,
-      hierNodes.select(col("name").as("src"), col("hier_id").as("src_id")),
-      "src", saltFrom = Seq("dst"))
-    Joins.innerSkewSafe(withSrc,
-      hierNodes.select(col("name").as("dst"), col("hier_id").as("dst_id")),
-      "dst", saltFrom = Seq("src"))
+    Joins.remapBoth(pairs, hierNodes, "name", "hier_id",
+      "src", "dst", "src_id", "dst_id")
       .select(col("src_id"), col("dst_id"), col("src"), col("dst"))
   }
 }

@@ -48,10 +48,11 @@ object StageStore {
     * (semantic identity) plus the build stamp (catches changes those
     * strings don't — e.g. resolver/versioning edits). */
   val logicVersion: String = md5hex(Seq(
-    "v3",
+    "v4",
     graft.extract.Extract.Grammar.defRe,
     graft.extract.Extract.Grammar.aliasRe,
     graft.extract.Extract.Grammar.linkRe,
+    graft.extract.Extract.Grammar.chainRe,
     graft.sources.Transcripts.fromTpchOracleSql,
     codeStamp).mkString("|")).take(8)
 

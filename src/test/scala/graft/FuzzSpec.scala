@@ -33,8 +33,10 @@ class FuzzSpec extends SparkSpec {
             case 3 =>
               s"link $ref -[${preds(rnd.nextInt(preds.size))}]-> $ref"
             case 4 => "some narration noise"
-            case 5 => // extends clause (containment grammar)
-              s"define entity ${ents(rnd.nextInt(ents.size))} with qty=${rnd.nextInt(100)} extends cat:c${rnd.nextInt(3)}"
+            case 5 => // extends clause; parents drawn from the SAME entity
+              // namespace so fuzz exercises relations targeting a
+              // parent-only-defined entity (knownOnly must keep them)
+              s"define entity ${ents(rnd.nextInt(ents.size))} with qty=${rnd.nextInt(100)} extends ${ents(rnd.nextInt(ents.size))}"
             case 6 => // two-hop chain (1 segment -> 2 relation mentions)
               s"chain $ref -[${preds(rnd.nextInt(preds.size))}]-> $ref -[${preds(rnd.nextInt(preds.size))}]-> $ref"
             case 7 => s"ref #${rnd.nextInt(2000)}" // issue cross-reference (narration to the grammar)

@@ -31,8 +31,11 @@ object RefOracle {
       val aliases = mutable.Map[String, String]()
       ordered.foreach { t =>
         t.text.split(" ; ", -1).foreach {
-          case DefRe(name, _, _) =>
+          case DefRe(name, _, parent) =>
             defined += name
+            // an extends clause defines the container entity too (it joins
+            // the node vocabulary, mirroring Triples.entityNames)
+            if (parent != null) defined += parent
             if (self.isEmpty) self = Some(name)
           case AliasRe(a, target) => aliases(a) = target
           case LinkRe(s, p, o) =>
