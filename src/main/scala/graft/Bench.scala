@@ -38,18 +38,21 @@ object Bench {
     // Full materialization per query: toRdd.count() forces every output
     // column through codegen (a bare df.count() lets column pruning skip
     // the expensive projections entirely — doc_fingerprint measured 0.2s
-    // pruned vs ~7s real). Failures are recorded, not swallowed.
+    // pruned vs ~7s real). A failed query reports sentinel -1 (its
+    // time-to-failure is meaningless as a timing) and is excluded from
+    // the total; the errors array names it.
     var failed = List.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).queryExecution.toRdd.count() }
-      catch { case _: Throwable => failed ::= name }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
+        catch { case _: Throwable => failed ::= name; false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.values.sum + pipelineSec
+    val total = results.values.filter(_ >= 0).sum + pipelineSec
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
         s""""pipeline_sec":$pipelineSec,"pipeline_edges":$nEdges,"triples_per_sec":$tps,"errors":$errs}""")

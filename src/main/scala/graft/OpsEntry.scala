@@ -47,7 +47,37 @@ object OpsEntry {
     "emb_lsh_buckets" -> ((s, dir) => Similarity.lshBuckets(emb(s, dir))),
 
     "emb_clusters" -> ((s, dir) => Clustering.lloydStep(emb(s, dir))),
+
+    "emb_ivf_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.ivfTopK(e, Similarity.ivfAssign(e, nCells = 16),
+        nQueries = 20, k = 10, nCells = 16, nProbes = 2)
+    }),
   )
+
+  /** DuckDB CTE chain reproducing Clustering.lloydStep bit-for-bit
+    * (integer-quantized distances); `a1` is the final (vec_id, cluster)
+    * assignment — shared by emb_clusters and the kg_cluster_* oracle
+    * queries in SparkEntry. */
+  private[graft] val clusterCtes: String =
+    """q AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+      |         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS xq
+      |  FROM embeddings
+      |),
+      |c0 AS (SELECT vec_id AS cid, dim, xq AS cq FROM q WHERE vec_id < 8),
+      |d0 AS (SELECT q.vec_id, c0.cid, sum((q.xq - c0.cq)*(q.xq - c0.cq)) AS d2
+      |       FROM q JOIN c0 USING(dim) GROUP BY q.vec_id, c0.cid),
+      |a0 AS (SELECT vec_id, cid AS cluster FROM (
+      |         SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk FROM d0
+      |       ) WHERE rk = 1),
+      |m AS (SELECT a0.cluster, q.dim, CAST(round(avg(q.xq)) AS BIGINT) AS cq
+      |      FROM q JOIN a0 USING(vec_id) GROUP BY a0.cluster, q.dim),
+      |d1 AS (SELECT q.vec_id, m.cluster AS cid, sum((q.xq - m.cq)*(q.xq - m.cq)) AS d2
+      |       FROM q JOIN m USING(dim) GROUP BY q.vec_id, m.cluster),
+      |a1 AS (SELECT vec_id, cid AS cluster FROM (
+      |         SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk FROM d1
+      |       ) WHERE rk = 1)""".stripMargin
 
   /** Word 3-gram shingle CTE (mirrors Dedup.shingles for docs with >= 3
     * words — the corpus guarantees >= 10). */
@@ -204,25 +234,50 @@ object OpsEntry {
     // one Lloyd iteration of k-means over micro-unit-quantized embeddings:
     // integer distances -> assignments are exact across engines
     "emb_clusters" ->
-      """WITH q AS (
-        |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
-        |         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS xq
+      s"""WITH $clusterCtes
+        |SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cluster AS BIGINT) AS cluster FROM a1""".stripMargin,
+
+    // IVF multi-probe ANN (nCells=16, nProbes=2, queries = vec_id < 20):
+    // assignment + probe ranking use ppm-quantized cosine so a last-ulp
+    // float difference can never flip a cell across engines
+    "emb_ivf_topk" ->
+      """WITH v AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+        |         CAST(unnest(embedding) AS DOUBLE) AS x
         |  FROM embeddings
         |),
-        |c0 AS (SELECT vec_id AS cid, dim, xq AS cq FROM q WHERE vec_id < 8),
-        |d0 AS (SELECT q.vec_id, c0.cid, sum((q.xq - c0.cq)*(q.xq - c0.cq)) AS d2
-        |       FROM q JOIN c0 USING(dim) GROUP BY q.vec_id, c0.cid),
-        |a0 AS (SELECT vec_id, cid AS cluster FROM (
-        |         SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk FROM d0
-        |       ) WHERE rk = 1),
-        |m AS (SELECT a0.cluster, q.dim, CAST(round(avg(q.xq)) AS BIGINT) AS cq
-        |      FROM q JOIN a0 USING(vec_id) GROUP BY a0.cluster, q.dim),
-        |d1 AS (SELECT q.vec_id, m.cluster AS cid, sum((q.xq - m.cq)*(q.xq - m.cq)) AS d2
-        |       FROM q JOIN m USING(dim) GROUP BY q.vec_id, m.cluster),
-        |a1 AS (SELECT vec_id, cid AS cluster FROM (
-        |         SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk FROM d1
-        |       ) WHERE rk = 1)
-        |SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cluster AS BIGINT) AS cluster FROM a1""".stripMargin,
+        |nrm AS (SELECT vec_id, sqrt(sum(x*x)) AS nv FROM v GROUP BY vec_id),
+        |cent AS (SELECT vec_id AS cell, d, x FROM v WHERE vec_id < 16),
+        |simc AS (
+        |  SELECT v.vec_id, c.cell,
+        |         CAST(round(sum(v.x*c.x) / (nv.nv * nc.nv) * 1000000) AS BIGINT) AS sim_ppm
+        |  FROM v JOIN cent c USING(d)
+        |  JOIN nrm nv ON nv.vec_id = v.vec_id
+        |  JOIN nrm nc ON nc.vec_id = c.cell
+        |  GROUP BY v.vec_id, c.cell, nv.nv, nc.nv
+        |),
+        |rks AS (SELECT vec_id, cell,
+        |               row_number() OVER (PARTITION BY vec_id ORDER BY sim_ppm DESC, cell) AS rk
+        |        FROM simc),
+        |assign AS (SELECT vec_id, cell FROM rks WHERE rk = 1),
+        |probes AS (SELECT vec_id AS query_id, cell FROM rks WHERE rk <= 2 AND vec_id < 20),
+        |cand AS (SELECT p.query_id, a.vec_id
+        |         FROM probes p JOIN assign a ON a.cell = p.cell
+        |         WHERE a.vec_id <> p.query_id),
+        |simq AS (
+        |  SELECT c.query_id, c.vec_id,
+        |         CAST(round(sum(qv.x*vv.x) / (nq.nv * nn.nv) * 1000000) AS BIGINT) AS cos_ppm
+        |  FROM cand c
+        |  JOIN v qv ON qv.vec_id = c.query_id
+        |  JOIN v vv ON vv.vec_id = c.vec_id AND vv.d = qv.d
+        |  JOIN nrm nq ON nq.vec_id = c.query_id
+        |  JOIN nrm nn ON nn.vec_id = c.vec_id
+        |  GROUP BY c.query_id, c.vec_id, nq.nv, nn.nv
+        |)
+        |SELECT query_id, vec_id AS neighbor_id, cos_ppm, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_ppm DESC, vec_id) AS BIGINT) AS rank
+        |  FROM simq
+        |) WHERE rank <= 10""".stripMargin,
 
     "emb_lsh_buckets" ->
       """WITH pl AS (

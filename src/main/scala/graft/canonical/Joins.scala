@@ -53,6 +53,12 @@ object Joins {
   def antiDistinct(left: DataFrame, right: DataFrame, key: String): DataFrame =
     left.join(dim(right), Seq(key), "left_anti")
 
+  /** left_semi twin of [[antiDistinct]]: membership filter where the left
+    * side is distinct per key, so salting buys nothing — gate the hint,
+    * let AQE (runtime sizes + skew split) plan the over-the-gate case. */
+  def semiDistinct(left: DataFrame, right: DataFrame, key: String): DataFrame =
+    left.join(dim(right), Seq(key), "left_semi")
+
   /** Remap both endpoint-name columns of an edge-pair frame to IDs through
     * two size-gated joins (the shared shape of component/containment/
     * hierarchy edge building). `nodes` must expose (nameCol, idCol);

@@ -12,6 +12,12 @@ import graft.canonical.{Canonical, Joins}
   */
 object Hierarchy {
 
+  /** One row per conversation. Callers pass the COMMITTED transcripts
+    * stage table (Pipeline.transcripts), so `turn_idx = 0` is a pushed
+    * parquet filter reading 3 columns — not a filter above the full
+    * orders⋈lineitem derivation that computes and discards every
+    * lineitem turn (the r02 scale-killer: an unpruned corpus scan just
+    * to list the month folders). */
   private def turn0(transcripts: DataFrame): DataFrame =
     transcripts.filter(col("turn_idx") === 0)
       .select(col("conv_id"), date_format(col("ts"), "yyyy-MM").as("month"))

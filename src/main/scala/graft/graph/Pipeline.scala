@@ -23,8 +23,17 @@ import graft.version.Versions
   */
 object Pipeline {
 
+  /** Committed like every other stage: the derivation (orders⋈lineitem +
+    * per-order row_number window + inline explode) has >= 6 downstream
+    * consumers (mentions, turn roles, hierarchy x2, segments x2, turn
+    * edges) that would otherwise each re-run it — measured ~31s of the
+    * 84s query total at sf0.1 (VERDICT r02 #3). Consumers filtering
+    * turn_idx (Hierarchy) get parquet pushdown off the committed table
+    * instead of a full re-derivation. */
   def transcripts(spark: SparkSession, sfDir: String): DataFrame =
-    Transcripts.fromTpch(spark, sfDir) // cheap, derived; not checkpointed
+    StageStore.getOrCreate(spark, sfDir, "transcripts") {
+      Transcripts.fromTpch(spark, sfDir)
+    }
 
   def mentions(spark: SparkSession, sfDir: String): DataFrame =
     StageStore.getOrCreate(spark, sfDir, "mentions") {
@@ -75,6 +84,7 @@ object Pipeline {
     * order so each stage's recorded wall time covers only its own work.
     * Returns the number of emitted graph edges. */
   def runAll(spark: SparkSession, sfDir: String): Long = {
+    transcripts(spark, sfDir)
     mentions(spark, sfDir)
     resolved(spark, sfDir)
     nodes(spark, sfDir)

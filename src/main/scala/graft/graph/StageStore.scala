@@ -59,21 +59,27 @@ object StageStore {
   def root: String = sys.props.getOrElse("graft.stage.dir",
     sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft_stages")
 
-  /** Fingerprint of the input data itself (name+mtime+size of every file
-    * under the corpus dir, one level of recursion for parquet
-    * directories). Regenerating the parquet at the same path invalidates
-    * the stage cache — without this, getOrCreate would silently serve
-    * stage tables computed from the OLD data. */
+  /** Fingerprint of the input data itself (path+mtime+size of every file
+    * under the corpus dir, full recursive walk — partitioned parquet
+    * rewritten at depth >= 3 must invalidate too). Regenerating the
+    * parquet at the same path invalidates the stage cache — without this,
+    * getOrCreate would silently serve stage tables computed from the OLD
+    * data. An unreadable input dir stamps a never-cache-hitting nonce
+    * instead of a constant: serving a stale stage table on IO failure is
+    * the exact bug the stamp exists to prevent, so degrade to "always
+    * recompute", never to "silently reuse". */
   private def inputStamp(inputKey: String): String = try {
-    val d = new java.io.File(inputKey)
-    if (!d.isDirectory) s"${d.lastModified}:${d.length}"
-    else d.listFiles().sortBy(_.getName).map { f =>
-      val sz = if (f.isDirectory) f.listFiles().map(_.length).sum else f.length
-      val mt = if (f.isDirectory) (f.lastModified +: f.listFiles().map(_.lastModified)).max
-               else f.lastModified
-      s"${f.getName}:$mt:$sz"
-    }.mkString(",")
-  } catch { case _: Throwable => "unknown" }
+    val sb = new StringBuilder
+    def walk(f: java.io.File): Unit =
+      if (f.isDirectory)
+        f.listFiles().sortBy(_.getName).foreach(walk)
+      else sb.append(f.getPath).append(':')
+        .append(f.lastModified).append(':').append(f.length).append(',')
+    walk(new java.io.File(inputKey))
+    sb.toString
+  } catch {
+    case _: Throwable => s"unreadable-${System.nanoTime()}"
+  }
 
   def baseFor(inputKey: String): String =
     s"$root/${md5hex(inputKey + "|" + inputStamp(inputKey) + "|" + logicVersion).take(16)}"

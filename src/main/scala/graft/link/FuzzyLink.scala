@@ -67,13 +67,17 @@ object FuzzyLink {
     * caller can left-join to keep misses). */
   def link(surfaces: DataFrame, dict: DataFrame, surfaceCol: String = "surface",
       dictCol: String = "name", minScorePpm: Long = 300000L): DataFrame = {
-    val exact = surfaces
-      .join(broadcast(dict.select(col(dictCol).as(surfaceCol))), Seq(surfaceCol), "left_semi")
+    // The dictionary is the canonical entity vocabulary — it scales with
+    // the corpus, so the exact-match semi/anti joins are size-gated
+    // (Joins): broadcast hint only while the side provably fits; above
+    // the gate AQE plans from runtime sizes. Surfaces are distinct per
+    // key (callers feed .distinct()), so salting buys nothing here.
+    val dictAsSurface = dict.select(col(dictCol).as(surfaceCol))
+    val exact = graft.canonical.Joins.semiDistinct(surfaces, dictAsSurface, surfaceCol)
       .select(col(surfaceCol), col(surfaceCol).as("matched"),
         lit(1000000L).as("score_ppm"), lit("exact").as("method"))
 
-    val misses = surfaces
-      .join(broadcast(dict.select(col(dictCol).as(surfaceCol))), Seq(surfaceCol), "left_anti")
+    val misses = graft.canonical.Joins.antiDistinct(surfaces, dictAsSurface, surfaceCol)
 
     val sb = nameBuckets(misses, surfaceCol)
       .withColumnRenamed(surfaceCol, "surface_")

@@ -46,6 +46,14 @@ object Clustering {
     val q = quantized(emb)
     val c0 = q.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("xq").as("cq"))
+    // Seeding assumes dense zero-based vec_ids; sparse ids would silently
+    // yield < k centroids (an EMPTY c0 makes assign return an empty frame
+    // with no error) — fail loudly instead. The count is a pushed-down
+    // `vec_id < k` parquet scan, not a full pass.
+    val nSeeds = c0.count()
+    require(nSeeds == k,
+      s"lloydStep: expected $k seed centroids (vec_id in [0,$k)), found " +
+        s"$nSeeds — vec_ids must be dense and zero-based")
     val a0 = assign(q, c0)
     val means = q.join(a0, Seq("vec_id"))
       .select(col("cluster"), posexplode(col("xq")).as(Seq("dim", "v")))

@@ -90,14 +90,34 @@ object Dedup {
   }
 
   /** Candidate near-dup pairs: same (band, bucket), a < b, deduped across
-    * bands. The self-join key is the bucket digest — uniform unless the
-    * corpus is degenerate; AQE skew-join covers hot buckets. */
-  def candidatePairs(buckets: DataFrame, idCol: String = "doc_id"): DataFrame = {
-    val a = buckets.select(col("band"), col("bucket"), col(idCol).as("a"))
-    val b = buckets.select(col("band"), col("bucket"), col(idCol).as("b"))
-    a.join(b, Seq("band", "bucket"))
+    * bands.
+    *
+    * Degenerate-bucket cap: a (band, bucket) holding B docs emits B^2/2
+    * rows from the self-join — AQE skew-split spreads the shuffle but
+    * cannot shrink the quadratic OUTPUT, so one boilerplate-heavy shard
+    * (millions of near-identical docs sharing a bucket) explodes at scale.
+    * Buckets above `maxBucket` are therefore star-collapsed: every member
+    * pairs with the bucket's min-id representative only (B-1 rows, linear).
+    * An oversized LSH bucket is by construction a near-duplicate clique,
+    * so connecting members through the representative preserves dedup
+    * semantics (the downstream union-find/grouping closes the clique);
+    * only sub-threshold false-positive members lose their direct pair,
+    * which exact-Jaccard verification would have discarded anyway. */
+  def candidatePairs(buckets: DataFrame, idCol: String = "doc_id",
+      maxBucket: Int = 1000): DataFrame = {
+    val sized = buckets
+      .groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("_n"), min(col(idCol)).as("_rep"))
+    val withSz = buckets.join(sized, Seq("band", "bucket"))
+    val small = withSz.filter(col("_n") <= maxBucket)
+    val a = small.select(col("band"), col("bucket"), col(idCol).as("a"))
+    val b = small.select(col("band"), col("bucket"), col(idCol).as("b"))
+    val full = a.join(b, Seq("band", "bucket"))
       .filter(col("a") < col("b"))
-      .select("a", "b").distinct()
+      .select("a", "b")
+    val star = withSz.filter(col("_n") > maxBucket && col(idCol) =!= col("_rep"))
+      .select(col("_rep").as("a"), col(idCol).as("b"))
+    full.unionByName(star).distinct()
   }
 
   /** Verify candidates with exact shingle-set Jaccard; keeps pairs with

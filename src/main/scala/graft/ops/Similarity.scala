@@ -55,40 +55,64 @@ object Similarity {
         .otherwise(-1.0))
   }
 
-  /** IVF coarse quantization (the other scale path besides LSH): assign
-    * every vector to its nearest of `nCells` centroids; a query then scans
-    * only its cell (1/nCells of the corpus per probe). The codebook is the
-    * deterministic prefix of the corpus (vec_id < nCells) — a k-means
-    * refinement slots in without changing the dataflow. */
-  def ivfAssign(emb: DataFrame, nCells: Int = 16): DataFrame = {
-    val centroids = broadcast(emb.filter(col("vec_id") < nCells)
+  /** Integer cosine score (parts-per-million): the argmin/argmax orderings
+    * below compare quantized longs, so a last-ulp float difference between
+    * engines can never flip a cell assignment or a rank. */
+  private def cosPpm(a: Column, b: Column): Column =
+    round(dot(a, b) / (norm(a) * norm(b)) * 1e6).cast("long")
+
+  /** Rank every vector of `vectors` against the corpus codebook (the
+    * deterministic prefix `vec_id < nCells` of `corpus` — a k-means
+    * refinement slots in without changing the dataflow): one row per
+    * (vec_id, cell) with the similarity rank (1 = nearest). Centroids are
+    * nCells rows -> broadcast; `vectors` streams once. */
+  private def cellRanks(vectors: DataFrame, corpus: DataFrame,
+      nCells: Int): DataFrame = {
+    val centroids = broadcast(corpus.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("cell"), col("embedding").as("ce")))
     val w = Window.partitionBy("vec_id")
-      .orderBy(col("sim").desc, col("cell"))
-    emb.crossJoin(centroids)
-      .withColumn("sim",
-        dot(col("embedding"), col("ce")) / (norm(col("embedding")) * norm(col("ce"))))
+      .orderBy(col("sim_ppm").desc, col("cell"))
+    vectors.crossJoin(centroids)
+      .withColumn("sim_ppm", cosPpm(col("embedding"), col("ce")))
       .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("cell"))
+      .select(col("vec_id"), col("cell"), col("rk"))
   }
 
-  /** IVF top-k: probe only the query's own cell. Exactness degrades to
-    * recall@cell (tested against brute force on clustered fixtures);
-    * nProbes > 1 would union the next-nearest cells. */
+  /** IVF coarse quantization (the other scale path besides LSH): assign
+    * every vector to its nearest of `nCells` centroids; a query then scans
+    * only its probed cells (nProbes/nCells of the corpus). */
+  def ivfAssign(emb: DataFrame, nCells: Int = 16): DataFrame =
+    cellRanks(emb, emb, nCells).filter(col("rk") === 1)
+      .select(col("vec_id"), col("cell"))
+
+  /** IVF top-k with multi-probe: each query scans its `nProbes` nearest
+    * cells (nProbes=1 is classic single-probe; recall rises with nProbes
+    * and reaches brute-force exactness at nProbes=nCells). The probe list
+    * and the corpus partition are both cell-keyed, so candidate generation
+    * is an equi-join on `cell` — never a cross join — and the scan cost
+    * per query is nProbes/nCells of the corpus. */
   def ivfTopK(emb: DataFrame, assignments: DataFrame, nQueries: Int = 20,
-      k: Int = 10): DataFrame = {
-    val withCell = emb.join(assignments, "vec_id")
-    val q = broadcast(withCell.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-        col("cell")))
+      k: Int = 10, nCells: Int = 16, nProbes: Int = 1): DataFrame = {
+    val queries = emb.filter(col("vec_id") < nQueries)
+    // probe list: the query's nProbes nearest cells. Single-probe reads
+    // the query's own assignment row (its cell IS rk=1 — no codebook
+    // recompute, and always consistent with `assignments`); multi-probe
+    // re-ranks the queries against the nCells codebook.
+    val probes =
+      if (nProbes <= 1)
+        queries.select(col("vec_id").as("query_id"))
+          .join(assignments.withColumnRenamed("vec_id", "query_id"), "query_id")
+      else cellRanks(queries, emb, nCells).filter(col("rk") <= nProbes)
+        .select(col("vec_id").as("query_id"), col("cell"))
+    val q = broadcast(queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .join(probes, "query_id"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_ppm").desc, col("vec_id"))
-    withCell.join(q, Seq("cell"))
+    emb.join(assignments, "vec_id")
+      .join(q, Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos_ppm",
-        round(dot(col("qe"), col("embedding")) /
-          (norm(col("qe")) * norm(col("embedding"))) * 1e6).cast("long"))
+      .withColumn("cos_ppm", cosPpm(col("qe"), col("embedding")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),

@@ -42,9 +42,10 @@ object Transcripts {
     *                            known-entities-only filter / minting path,
     *                            reference package/call_graph.py:276-315).
     *
-    * Scale notes: part/supplier/customer are dimension tables -> broadcast;
-    * orders⋈lineitem is the one big co-keyed join (AQE/SMJ). No UDFs —
-    * the whole derivation is codegen'd column expressions.
+    * Scale notes: part/supplier/customer are dimension tables that grow
+    * with SF -> size-gated broadcast (Joins.dim); orders⋈lineitem is the
+    * one big co-keyed join (AQE/SMJ). No UDFs — the whole derivation is
+    * codegen'd column expressions.
     */
   def fromTpch(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -72,8 +73,12 @@ object Transcripts {
     val kS = k.cast("string")
     val qtyS = round($"l_quantity" * 100).cast("long").cast("string")
 
+    // part/supplier/customer grow linearly with scale factor — size-gated
+    // broadcast (Joins.dim): explicit hint only while the committed parquet
+    // stats prove the side fits; above the gate AQE plans from runtime
+    // sizes (an unconditional hint would OOM the driver at large SF).
     val turn0 = o
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(graft.canonical.Joins.dim(c), o("o_custkey") === c("c_custkey"))
       .select(
         concat(lit("c"), $"o_orderkey".cast("string")).as("conv_id"),
         lit(0).as("turn_idx"),
@@ -88,8 +93,8 @@ object Transcripts {
 
     val li = l
       .withColumn("k", row_number().over(wk))
-      .join(broadcast(p), l("l_partkey") === p("p_partkey"))
-      .join(broadcast(s), l("l_suppkey") === s("s_suppkey"))
+      .join(graft.canonical.Joins.dim(p), l("l_partkey") === p("p_partkey"))
+      .join(graft.canonical.Joins.dim(s), l("l_suppkey") === s("s_suppkey"))
 
     val textA = concat(
       lit("define entity "), pname, lit(" with qty="), qtyS,

@@ -31,6 +31,24 @@ class OpsSpec extends SparkSpec {
       "unrelated doc must not collide")
   }
 
+  test("degenerate LSH bucket is star-collapsed: candidate output stays linear") {
+    // pathological corpus: 60 identical docs -> every (band, bucket) holds
+    // all 60; uncapped pairing would emit 60*59/2 = 1770 rows
+    val clones = (1L to 60L).map(i => (i, "same text everywhere forever and ever again", "s"))
+      .toDF("doc_id", "text", "source")
+    val buckets = Dedup.minhashBuckets(clones)
+    val capped = Dedup.candidatePairs(buckets, maxBucket = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // star collapse: every member pairs with the min-id representative only
+    assert(capped.length === 59, s"expected 59 star pairs, got ${capped.length}")
+    assert(capped.forall(_._1 == 1L), "representative must be the bucket min id")
+    assert(capped.map(_._2).toSet === (2L to 60L).toSet,
+      "every clone must stay reachable from the representative")
+    // under the cap the full pair set is unchanged
+    val uncapped = Dedup.candidatePairs(buckets).collect()
+    assert(uncapped.length === 1770)
+  }
+
   test("jaccard verification separates near-dups from candidates") {
     val pairs = Seq((1L, 2L), (1L, 3L)).toDF("a", "b")
     val v = Dedup.verifyJaccard(corpus, pairs, threshold = 0.5)
@@ -90,6 +108,27 @@ class OpsSpec extends SparkSpec {
     assert(top(2L) === 3L || top(2L) === 0L)
     assert(Set(0L, 2L, 3L).contains(top(3L)))
     assert(!Set(top(2L), top(3L)).exists(Set(1L, 4L, 5L).contains))
+  }
+
+  test("IVF multi-probe: recall grows with nProbes, equals brute force at nProbes = nCells") {
+    // deterministic 24-vector corpus (4 loose clusters, dim 8)
+    val vecs = (0L until 24L).map { i =>
+      (i, (0 until 8).map(j => (((i % 4) * 31 + j * 17 + i) % 7 - 3).toFloat).toArray)
+    }.toDF("vec_id", "embedding")
+    val truth = Similarity.bruteForceTopK(vecs, nQueries = 6, k = 3)
+    val truthSet = rowSet(truth.select("query_id", "neighbor_id"))
+    val assign = Similarity.ivfAssign(vecs, nCells = 4)
+    def recall(nProbes: Int): Double = {
+      val got = rowSet(Similarity
+        .ivfTopK(vecs, assign, nQueries = 6, k = 3, nCells = 4, nProbes = nProbes)
+        .select("query_id", "neighbor_id"))
+      (got & truthSet).size.toDouble / truthSet.size
+    }
+    assert(recall(2) >= recall(1), "probing more cells must not lose neighbors")
+    // probing every cell scans the whole corpus -> exact brute-force answer
+    assertSameRows(
+      Similarity.ivfTopK(vecs, assign, nQueries = 6, k = 3, nCells = 4, nProbes = 4),
+      truth)
   }
 
   test("lang id predicts the dictionary language") {

@@ -32,12 +32,15 @@ for name, sql in sorted(oracle.items()):
         print(f"FAIL {name}: oracle sql error: {e}")
         fail += 1
         continue
-    # normalize: sort columns by name, stringify, sort rows
+    # normalize: sort columns by name, sort rows on RAW cells (mimics the
+    # driver's comparator — an array/struct cell must fail HERE, not only
+    # at the gate), then stringify for the value compare
     def norm(df):
         df = df[sorted(df.columns)].copy()
+        df = df.sort_values(list(df.columns)).reset_index(drop=True)
         for c in df.columns:
             df[c] = df[c].astype(str)
-        return df.sort_values(list(df.columns)).reset_index(drop=True)
+        return df
     a, b = norm(sdf), norm(odf)
     if list(a.columns) != list(b.columns):
         print(f"FAIL {name}: columns spark={list(a.columns)} oracle={list(b.columns)}")
