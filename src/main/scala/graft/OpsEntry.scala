@@ -48,6 +48,8 @@ object OpsEntry {
 
     "emb_clusters" -> ((s, dir) => Clustering.lloydStep(emb(s, dir))),
 
+    "emb_cluster_ensemble" -> ((s, dir) => Clustering.ensemble(emb(s, dir))),
+
     "emb_ivf_topk" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.ivfTopK(e, Similarity.ivfAssign(e, nCells = 16),
@@ -55,29 +57,37 @@ object OpsEntry {
     }),
   )
 
-  /** DuckDB CTE chain reproducing Clustering.lloydStep bit-for-bit
-    * (integer-quantized distances); `a1` is the final (vec_id, cluster)
-    * assignment — shared by emb_clusters and the kg_cluster_* oracle
-    * queries in SparkEntry. */
-  private[graft] val clusterCtes: String =
+  /** Quantized-embedding CTE shared by every cluster oracle. */
+  private[graft] val quantCte: String =
     """q AS (
       |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
       |         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS xq
       |  FROM embeddings
-      |),
-      |c0 AS (SELECT vec_id AS cid, dim, xq AS cq FROM q WHERE vec_id < 8),
-      |d0 AS (SELECT q.vec_id, c0.cid, sum((q.xq - c0.cq)*(q.xq - c0.cq)) AS d2
-      |       FROM q JOIN c0 USING(dim) GROUP BY q.vec_id, c0.cid),
-      |a0 AS (SELECT vec_id, cid AS cluster FROM (
-      |         SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk FROM d0
+      |)""".stripMargin
+
+  /** DuckDB CTE chain reproducing one Clustering.lloydStep bit-for-bit
+    * (integer-quantized distances); `<pfx>a1` is the final
+    * (vec_id, cluster) assignment. Prefix + seed window make the chain
+    * instantiable twice for the ensemble oracle. */
+  private[graft] def lloydCtes(pfx: String, seedFrom: Int, k: Int = 8): String =
+    s"""${pfx}c0 AS (SELECT vec_id - $seedFrom AS cid, dim, xq AS cq FROM q
+      |       WHERE vec_id >= $seedFrom AND vec_id < ${seedFrom + k}),
+      |${pfx}d0 AS (SELECT q.vec_id, ${pfx}c0.cid, sum((q.xq - ${pfx}c0.cq)*(q.xq - ${pfx}c0.cq)) AS d2
+      |       FROM q JOIN ${pfx}c0 USING(dim) GROUP BY q.vec_id, ${pfx}c0.cid),
+      |${pfx}a0 AS (SELECT vec_id, cid AS cluster FROM (
+      |         SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk FROM ${pfx}d0
       |       ) WHERE rk = 1),
-      |m AS (SELECT a0.cluster, q.dim, CAST(round(avg(q.xq)) AS BIGINT) AS cq
-      |      FROM q JOIN a0 USING(vec_id) GROUP BY a0.cluster, q.dim),
-      |d1 AS (SELECT q.vec_id, m.cluster AS cid, sum((q.xq - m.cq)*(q.xq - m.cq)) AS d2
-      |       FROM q JOIN m USING(dim) GROUP BY q.vec_id, m.cluster),
-      |a1 AS (SELECT vec_id, cid AS cluster FROM (
-      |         SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk FROM d1
+      |${pfx}m AS (SELECT ${pfx}a0.cluster, q.dim, CAST(round(avg(q.xq)) AS BIGINT) AS cq
+      |      FROM q JOIN ${pfx}a0 USING(vec_id) GROUP BY ${pfx}a0.cluster, q.dim),
+      |${pfx}d1 AS (SELECT q.vec_id, ${pfx}m.cluster AS cid, sum((q.xq - ${pfx}m.cq)*(q.xq - ${pfx}m.cq)) AS d2
+      |       FROM q JOIN ${pfx}m USING(dim) GROUP BY q.vec_id, ${pfx}m.cluster),
+      |${pfx}a1 AS (SELECT vec_id, cid AS cluster FROM (
+      |         SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk FROM ${pfx}d1
       |       ) WHERE rk = 1)""".stripMargin
+
+  /** Default single-clustering chain (final assignment CTE: `a1`) —
+    * shared by emb_clusters and the kg_cluster_* oracles in SparkEntry. */
+  private[graft] val clusterCtes: String = s"$quantCte,\n${lloydCtes("", 0)}"
 
   /** Word 3-gram shingle CTE (mirrors Dedup.shingles for docs with >= 3
     * words — the corpus guarantees >= 10). */
@@ -236,6 +246,17 @@ object OpsEntry {
     "emb_clusters" ->
       s"""WITH $clusterCtes
         |SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cluster AS BIGINT) AS cluster FROM a1""".stripMargin,
+
+    // two independently-seeded Lloyd members joined per vector (SURVEY J9)
+    "emb_cluster_ensemble" ->
+      s"""WITH $quantCte,
+        |${lloydCtes("ea_", 0)},
+        |${lloydCtes("eb_", 8)}
+        |SELECT CAST(a.vec_id AS BIGINT) AS vec_id,
+        |       CAST(a.cluster AS BIGINT) AS cluster_a,
+        |       CAST(b.cluster AS BIGINT) AS cluster_b,
+        |       CAST(a.cluster * 8 + b.cluster AS BIGINT) AS consensus_key
+        |FROM ea_a1 a JOIN eb_a1 b ON a.vec_id = b.vec_id""".stripMargin,
 
     // IVF multi-probe ANN (nCells=16, nProbes=2, queries = vec_id < 20):
     // assignment + probe ranking use ppm-quantized cosine so a last-ulp

@@ -39,21 +39,24 @@ object Clustering {
       .groupBy(col("vec_id"))
       .agg(min(struct(col("d2"), col("cid"))).getField("cid").as("cluster"))
 
-  /** One full Lloyd iteration: seed centroids = vectors with vec_id < k,
-    * assign, recompute integer-rounded means, reassign.
-    * Output: (vec_id, cluster). */
-  def lloydStep(emb: DataFrame, k: Int = 8): DataFrame = {
+  /** One full Lloyd iteration: seed centroids = vectors with vec_id in
+    * [seedFrom, seedFrom + k), assign, recompute integer-rounded means,
+    * reassign. Output: (vec_id, cluster), cluster in [0, k).
+    * Distinct `seedFrom` values give independent ensemble members
+    * (reference runs clustering more than once and joins the results,
+    * semantic_clustering.py / SURVEY J9 — see [[ensemble]]). */
+  def lloydStep(emb: DataFrame, k: Int = 8, seedFrom: Int = 0): DataFrame = {
     val q = quantized(emb)
-    val c0 = q.filter(col("vec_id") < k)
-      .select(col("vec_id").as("cid"), col("xq").as("cq"))
-    // Seeding assumes dense zero-based vec_ids; sparse ids would silently
-    // yield < k centroids (an EMPTY c0 makes assign return an empty frame
-    // with no error) — fail loudly instead. The count is a pushed-down
-    // `vec_id < k` parquet scan, not a full pass.
+    val c0 = q.filter(col("vec_id") >= seedFrom && col("vec_id") < seedFrom + k)
+      .select((col("vec_id") - seedFrom).as("cid"), col("xq").as("cq"))
+    // Seeding assumes dense vec_ids covering the seed window; sparse ids
+    // would silently yield < k centroids (an EMPTY c0 makes assign return
+    // an empty frame with no error) — fail loudly instead. The count is a
+    // pushed-down vec_id range parquet scan, not a full pass.
     val nSeeds = c0.count()
     require(nSeeds == k,
-      s"lloydStep: expected $k seed centroids (vec_id in [0,$k)), found " +
-        s"$nSeeds — vec_ids must be dense and zero-based")
+      s"lloydStep: expected $k seed centroids (vec_id in [$seedFrom," +
+        s"${seedFrom + k})), found $nSeeds — vec_ids must be dense")
     val a0 = assign(q, c0)
     val means = q.join(a0, Seq("vec_id"))
       .select(col("cluster"), posexplode(col("xq")).as(Seq("dim", "v")))
@@ -63,5 +66,20 @@ object Clustering {
       .agg(transform(array_sort(collect_list(struct(col("dim"), col("cv")))),
         s => s.getField("cv")).as("cq"))
     assign(q, c1)
+  }
+
+  /** Ensemble of two independently-seeded clusterings joined per vector
+    * (the reference's ensemble cluster join, SURVEY J9): each member is a
+    * full Lloyd iteration with a disjoint seed window; the equi-join on
+    * vec_id (both sides distinct per key — no skew possible) emits the
+    * co-assignment, whose distinct pairs are the consensus groups. */
+  def ensemble(emb: DataFrame, k: Int = 8): DataFrame = {
+    val a = lloydStep(emb, k, seedFrom = 0)
+      .withColumnRenamed("cluster", "cluster_a")
+    val b = lloydStep(emb, k, seedFrom = k)
+      .withColumnRenamed("cluster", "cluster_b")
+    a.join(b, Seq("vec_id"))
+      .select(col("vec_id"), col("cluster_a"), col("cluster_b"),
+        (col("cluster_a") * k + col("cluster_b")).as("consensus_key"))
   }
 }

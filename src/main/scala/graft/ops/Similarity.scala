@@ -44,8 +44,18 @@ object Similarity {
         col("cos_ppm"), col("rank"))
   }
 
-  /** Deterministic ±1 random-hyperplane table: weight(p, d) from the top
-    * bit of md5("p|d") — reproducible in any engine, no RNG state. */
+  /** Deterministic ±1 hyperplane weight: top bit of md5("p|d") —
+    * reproducible in any engine (the DuckDB oracle derives the same value
+    * from `substr(md5(p||'|'||d),1,1) >= '8'`), no RNG state. */
+  private def planeWeight(p: Int, d: Int): Double = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$p|$d".getBytes("UTF-8"))
+    if ((h(0) & 0x80) != 0) 1.0 else -1.0
+  }
+
+  /** Deterministic ±1 random-hyperplane table as a DataFrame (kept for
+    * callers that want the relational form; [[lshBuckets]] embeds the
+    * same weights as literal arrays instead). */
   def planes(spark: org.apache.spark.sql.SparkSession, nPlanes: Int, dim: Int): DataFrame = {
     val p = spark.range(nPlanes).select(col("id").as("p"))
     val d = spark.range(dim).select(col("id").as("d"))
@@ -121,21 +131,24 @@ object Similarity {
 
   /** Sign-random-projection LSH bucket per vector: nPlanes sign bits.
     * Vectors in the same bucket are ANN candidates (query cost becomes an
-    * equi-join by bucket instead of a scan). */
+    * equi-join by bucket instead of a scan).
+    *
+    * The plane weights are baked in as literal arrays, so each projection
+    * is a zip_with/aggregate fold over the embedding attribute — one pass
+    * per row, ZERO shuffles (the previous posexplode-to-(vec, dim) shape
+    * inflated the shuffle 64x at corpus scale, VERDICT r02). The fold
+    * order is the dim order, matching the oracle's sequential sum. The
+    * lambda reads the bound `embedding` attribute directly (casting
+    * inside the lambda) — a pre-projected transform() would re-evaluate
+    * per element (see Dedup.shinglesOfWords). */
   def lshBuckets(emb: DataFrame, nPlanes: Int = 8, dim: Int = 64): DataFrame = {
-    val spark = emb.sparkSession
-    val v = emb.select(col("vec_id"),
-      posexplode(asDouble(col("embedding"))).as(Seq("d", "x")))
-    val proj = v
-      .join(broadcast(planes(spark, nPlanes, dim)), Seq("d"))
-      .groupBy(col("vec_id"), col("p"))
-      .agg(sum(col("w") * col("x")).as("s"))
-      .withColumn("bit", when(col("s") > 0, "1").otherwise("0"))
-    proj
-      .groupBy("vec_id")
-      .agg(array_join(transform(
-        array_sort(collect_list(struct(col("p"), col("bit")))),
-        s => s.getField("bit")), "").as("bucket"))
-      .select(col("vec_id"), col("bucket"))
+    val bits = (0 until nPlanes).map { p =>
+      val w = typedLit((0 until dim).map(planeWeight(p, _)))
+      val s = aggregate(
+        zip_with(col("embedding"), w, (x, wv) => x.cast("double") * wv),
+        lit(0.0), (acc, v) => acc + v)
+      when(s > 0, "1").otherwise("0")
+    }
+    emb.select(col("vec_id"), concat(bits: _*).as("bucket"))
   }
 }
