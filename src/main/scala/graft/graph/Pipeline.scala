@@ -23,13 +23,22 @@ import graft.version.Versions
   */
 object Pipeline {
 
-  /** Committed like every other stage: the derivation (orders⋈lineitem +
-    * per-order row_number window + inline explode) has >= 6 downstream
-    * consumers (mentions, turn roles, hierarchy x2, segments x2, turn
-    * edges) that would otherwise each re-run it — measured ~31s of the
-    * 84s query total at sf0.1 (VERDICT r02 #3). Consumers filtering
-    * turn_idx (Hierarchy) get parquet pushdown off the committed table
-    * instead of a full re-derivation. */
+  /** Committed stage table for the 7 transcript-consuming QUERIES (turn
+    * roles, hierarchy x2, segments x2, turn edges, transcript dump),
+    * which would otherwise each re-run the orders⋈lineitem join +
+    * per-order window — measured ~31s of the 84s query total at sf0.1
+    * (VERDICT r02 #3). Consumers filtering turn_idx (Hierarchy) get
+    * parquet pushdown off the committed table instead of a full
+    * re-derivation.
+    *
+    * NOT in the mentions critical path and NOT part of runAll: the
+    * extraction keeps the fused derivation+regex plan (one codegen pass,
+    * text never materialized). Measured at sf0.1: the text write+read
+    * roundtrip costs ~30s (transcripts 11-23s + parquet-read mentions
+    * 10-19s) where the fused stage costs ~11s — committing here would
+    * halve pipeline throughput for zero query benefit. In a real
+    * deployment transcripts ARE the input table; this stage exists only
+    * because the sandbox derives them. */
   def transcripts(spark: SparkSession, sfDir: String): DataFrame =
     StageStore.getOrCreate(spark, sfDir, "transcripts") {
       Transcripts.fromTpch(spark, sfDir)
@@ -37,7 +46,7 @@ object Pipeline {
 
   def mentions(spark: SparkSession, sfDir: String): DataFrame =
     StageStore.getOrCreate(spark, sfDir, "mentions") {
-      Extract.mentions(transcripts(spark, sfDir))
+      Extract.mentions(Transcripts.fromTpch(spark, sfDir))
     }
 
   def resolved(spark: SparkSession, sfDir: String): DataFrame =
@@ -84,7 +93,6 @@ object Pipeline {
     * order so each stage's recorded wall time covers only its own work.
     * Returns the number of emitted graph edges. */
   def runAll(spark: SparkSession, sfDir: String): Long = {
-    transcripts(spark, sfDir)
     mentions(spark, sfDir)
     resolved(spark, sfDir)
     nodes(spark, sfDir)
