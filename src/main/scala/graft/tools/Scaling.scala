@@ -97,6 +97,29 @@ object Scaling {
       println(f"""{"parallelism":${r.parallelism},"sec":${r.seconds}%.2f,"triples":${r.triples},"triples_per_sec":${r.perSec}%.0f,"checksum":${r.checksum}}""")
       return
     }
+    // "control <p>": the host-ceiling reference — a zero-shuffle, zero-IO,
+    // pure-codegen job (bit_xor of xxhash64 over a range). Whatever
+    // efficiency THIS job loses between two parallelism levels is memory
+    // bandwidth / SMT contention of the VM, not engine serialization; the
+    // pipeline's efficiency is reported alongside (and normalized to) it.
+    if (args.headOption.contains("control")) {
+      val p = args(1).toInt
+      val n = args.lift(2).map(_.toLong).getOrElse(4000000000L)
+      val spark = SparkSession.builder()
+        .master(s"local[$p]")
+        .config("spark.sql.shuffle.partitions", p.toString)
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      spark.range(n min 100000000L) // untimed JIT warmup
+        .select(expr("bit_xor(xxhash64(id))")).collect()
+      val t0 = System.nanoTime()
+      spark.range(n).select(expr("bit_xor(xxhash64(id))")).collect()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"control":"xxhash64_fold","parallelism":$p,"rows":$n,"sec":$sec%.2f}""")
+      spark.stop()
+      return
+    }
     // Default pair is local[2] vs local[8] (N and 4N): this host's memory
     // bandwidth saturates below 32 threads (even a pure-CPU python loop
     // only reaches 2.9x from 8->32 processes), so 8->32 measures the host,
