@@ -46,6 +46,8 @@ object OpsEntry {
 
     "emb_lsh_buckets" -> ((s, dir) => Similarity.lshBuckets(emb(s, dir))),
 
+    "emb_cosine_dups" -> ((s, dir) => Similarity.cosineDupPairs(emb(s, dir))),
+
     "emb_clusters" -> ((s, dir) => Clustering.lloydStep(emb(s, dir))),
 
     "emb_cluster_ensemble" -> ((s, dir) => Clustering.ensemble(emb(s, dir))),
@@ -301,18 +303,47 @@ object OpsEntry {
         |) WHERE rank <= 10""".stripMargin,
 
     "emb_lsh_buckets" ->
-      """WITH pl AS (
-        |  SELECT t1.range AS p, t2.range AS d,
-        |         CASE WHEN substr(md5(t1.range||'|'||t2.range),1,1) >= '8' THEN 1.0 ELSE -1.0 END AS w
-        |  FROM range(0,8) t1, range(0,64) t2
-        |),
-        |v AS (SELECT vec_id, unnest(embedding) AS x,
-        |             generate_subscripts(embedding, 1) - 1 AS d
-        |      FROM embeddings),
-        |proj AS (SELECT vec_id, p, sum(w * CAST(x AS DOUBLE)) AS s
-        |         FROM v JOIN pl USING(d) GROUP BY vec_id, p)
-        |SELECT vec_id,
-        |       string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
-        |FROM proj GROUP BY vec_id""".stripMargin,
+      s"""WITH $lshBucketCtes
+        |SELECT vec_id, bucket FROM bk""".stripMargin,
+
+    // embedding-cosine near-dup pairs: LSH-bucket blocking + exact cosine
+    // verification (the 5th dedup family)
+    "emb_cosine_dups" ->
+      s"""WITH $lshBucketCtes,
+        |cand AS (SELECT x.vec_id AS a, y.vec_id AS b
+        |         FROM bk x JOIN bk y ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
+        |vv AS (SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+        |              CAST(unnest(embedding) AS DOUBLE) AS x
+        |       FROM embeddings),
+        |nrm AS (SELECT vec_id, sqrt(sum(x*x)) AS nv FROM vv GROUP BY vec_id),
+        |scored AS (
+        |  SELECT c.a, c.b,
+        |         CAST(round(sum(va.x*vb.x) / (na.nv * nb.nv) * 1000000) AS BIGINT) AS cos_ppm
+        |  FROM cand c
+        |  JOIN vv va ON va.vec_id = c.a
+        |  JOIN vv vb ON vb.vec_id = c.b AND vb.d = va.d
+        |  JOIN nrm na ON na.vec_id = c.a
+        |  JOIN nrm nb ON nb.vec_id = c.b
+        |  GROUP BY c.a, c.b, na.nv, nb.nv
+        |)
+        |SELECT a, b, cos_ppm FROM scored WHERE cos_ppm >= 300000""".stripMargin,
   )
+
+  /** Sign-random-projection bucket CTE (`bk`: vec_id, bucket) — the
+    * DuckDB mirror of Similarity.lshBuckets, shared by emb_lsh_buckets
+    * and the cosine near-dup blocking. */
+  private[graft] val lshBucketCtes: String =
+    """pl AS (
+      |  SELECT t1.range AS p, t2.range AS d,
+      |         CASE WHEN substr(md5(t1.range||'|'||t2.range),1,1) >= '8' THEN 1.0 ELSE -1.0 END AS w
+      |  FROM range(0,8) t1, range(0,64) t2
+      |),
+      |v AS (SELECT vec_id, unnest(embedding) AS x,
+      |             generate_subscripts(embedding, 1) - 1 AS d
+      |      FROM embeddings),
+      |proj AS (SELECT vec_id, p, sum(w * CAST(x AS DOUBLE)) AS s
+      |         FROM v JOIN pl USING(d) GROUP BY vec_id, p),
+      |bk AS (SELECT vec_id,
+      |              string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+      |       FROM proj GROUP BY vec_id)""".stripMargin
 }

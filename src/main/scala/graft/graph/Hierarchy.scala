@@ -18,7 +18,7 @@ object Hierarchy {
     * orders⋈lineitem derivation that computes and discards every
     * lineitem turn (the r02 scale-killer: an unpruned corpus scan just
     * to list the month folders). */
-  private def turn0(transcripts: DataFrame): DataFrame =
+  private[graft] def turn0(transcripts: DataFrame): DataFrame =
     transcripts.filter(col("turn_idx") === 0)
       .select(col("conv_id"), date_format(col("ts"), "yyyy-MM").as("month"))
 

@@ -129,6 +129,29 @@ object Similarity {
         col("cos_ppm"), col("rank"))
   }
 
+  /** Embedding-cosine near-duplicate pairs (the fifth dedup family next
+    * to exact/MinHash/SimHash/Jaccard): LSH buckets as the blocking key —
+    * candidate generation is a bucket equi-self-join (a < b), never
+    * all-pairs — then exact cosine verification at `minCosPpm`. The same
+    * candidate-then-verify shape as Dedup.candidatePairs/verifyJaccard,
+    * over vectors instead of shingle sets. */
+  def cosineDupPairs(emb: DataFrame, minCosPpm: Long = 300000L,
+      nPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    val b = lshBuckets(emb, nPlanes, dim)
+    val cand = b.select(col("bucket"), col("vec_id").as("a"))
+      .join(b.select(col("bucket"), col("vec_id").as("b")), Seq("bucket"))
+      .filter(col("a") < col("b"))
+      .select("a", "b")
+    cand
+      .join(emb.select(col("vec_id").as("a"), col("embedding").as("ea")), "a")
+      .join(emb.select(col("vec_id").as("b"), col("embedding").as("eb")), "b")
+      .withColumn("cos_ppm",
+        round(dot(col("ea"), col("eb")) / (norm(col("ea")) * norm(col("eb"))) * 1e6)
+          .cast("long"))
+      .filter(col("cos_ppm") >= minCosPpm)
+      .select(col("a"), col("b"), col("cos_ppm"))
+  }
+
   /** Sign-random-projection LSH bucket per vector: nPlanes sign bits.
     * Vectors in the same bucket are ANN candidates (query cost becomes an
     * equi-join by bucket instead of a scan).

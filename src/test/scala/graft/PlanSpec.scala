@@ -100,6 +100,32 @@ class PlanSpec extends SparkSpec {
     } finally sys.props.remove(key)
   }
 
+  test("hierarchy turn-0 is a pushed parquet filter on the committed transcripts table") {
+    // r02 scale-killer regression gate: the month-folder listing must read
+    // a filtered 3-column scan, never a full corpus derivation
+    // the projection below is what Hierarchy materializes (its checkpoint
+    // hides the scan from the downstream dense-ID plan, so assert on the
+    // projection's own plan)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_hier_push").toString
+    graft.sources.Transcripts.fromTpch(spark, sfDir)
+      .write.mode("overwrite").parquet(tmp)
+    val p = plan(graft.graph.Hierarchy.turn0(spark.read.parquet(tmp)))
+    assert(p.contains("PushedFilters") &&
+      (p.contains("EqualTo(turn_idx,0)") || p.contains("EqualTo(turn_idx, 0)")),
+      s"turn_idx=0 not pushed to the scan:\n${p.take(1500)}")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("text"),
+      s"hierarchy must not read the text column: $readSchema")
+  }
+
+  test("LSH projections are shuffle-free (literal plane arrays, no explode)") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val p = plan(graft.ops.Similarity.lshBuckets(e))
+    assert(!p.contains("Exchange"),
+      s"sign projections must not shuffle (the old posexplode shape inflated 64x):\n${p.take(1500)}")
+    assert(!p.contains("Generate"), "no explode in the projection path")
+  }
+
   test("brute-force ANN broadcasts the query side") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val p = plan(graft.ops.Similarity.bruteForceTopK(e, 5, 3))
