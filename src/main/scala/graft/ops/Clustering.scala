@@ -68,6 +68,54 @@ object Clustering {
     assign(q, c1)
   }
 
+  /** Full Lloyd loop: `iters` rounds of (means, assign) after the seeded
+    * first assignment (iters=1 == [[lloydStep]]). Each round's assignment
+    * is localCheckpointed — (vec_id, cluster) is two longs, the narrow
+    * shape localCheckpoint is right for — so round N+1's plan never
+    * re-derives round N (the fixpoint-iteration pattern of
+    * ConnectedComponents; a growing lineage would re-execute every prior
+    * round per action and stop scaling). Cost per round: one quantized
+    * pass + two vec_id shuffles + a (k x dims) aggregate — independent of
+    * iteration count, linear in corpus size. */
+  def lloyd(emb: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
+    require(iters >= 1, s"lloyd: iters must be >= 1, got $iters")
+    val q = quantized(emb).localCheckpoint()
+    val c0 = q.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("xq").as("cq"))
+    val nSeeds = c0.count()
+    require(nSeeds == k,
+      s"lloyd: expected $k seed centroids (vec_id in [0,$k)), found $nSeeds")
+    var a = assign(q, c0).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val means = q.join(a, Seq("vec_id"))
+        .select(col("cluster"), posexplode(col("xq")).as(Seq("dim", "v")))
+        .groupBy(col("cluster"), col("dim"))
+        .agg(round(avg(col("v"))).cast("long").as("cv"))
+      val c = means.groupBy(col("cluster").as("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("cv")))),
+          s => s.getField("cv")).as("cq"))
+      a = assign(q, c).localCheckpoint()
+    }
+    a
+  }
+
+  /** Total integer SSE of an assignment against its own centroids —
+    * the convergence metric (Lloyd never increases it). */
+  def sse(emb: DataFrame, assignment: DataFrame): Long = {
+    val q = quantized(emb)
+    val withA = q.join(assignment, Seq("vec_id"))
+    val cents = withA
+      .select(col("cluster"), posexplode(col("xq")).as(Seq("dim", "v")))
+      .groupBy(col("cluster"), col("dim"))
+      .agg(round(avg(col("v"))).cast("long").as("cv"))
+      .groupBy(col("cluster"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("cv")))),
+        s => s.getField("cv")).as("cq"))
+    withA.join(cents, Seq("cluster"))
+      .select(dist2(col("xq"), col("cq")).as("d2"))
+      .agg(sum(col("d2"))).collect()(0).getLong(0)
+  }
+
   /** Ensemble of two independently-seeded clusterings joined per vector
     * (the reference's ensemble cluster join, SURVEY J9): each member is a
     * full Lloyd iteration with a disjoint seed window; the equi-join on

@@ -70,6 +70,19 @@ object Dedup {
       .groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Streaming exact dedup: first-seen text wins within the watermark
+    * horizon (`dropDuplicatesWithinWatermark` keyed by the content
+    * digest). Dedup state is bounded by the watermark delay — the
+    * property that matters for an unbounded ingest (a plain
+    * dropDuplicates would grow state forever). The digest is the same
+    * md5 the batch [[exact]] groups by, so batch and streaming dedup
+    * agree on what "identical" means. */
+  def streamingExact(docs: DataFrame, tsCol: String = "ts",
+      delay: String = "10 minutes", textCol: String = "text"): DataFrame =
+    docs.withColumn("text_hash", md5(col(textCol)))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("text_hash")
+
   /** MinHash signatures + LSH band buckets: k hashes, k/rowsPerBand bands;
     * docs sharing any (band, bucket) are near-dup candidates. Returns one
     * row per (doc, band). */

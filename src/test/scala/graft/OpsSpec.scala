@@ -131,6 +131,29 @@ class OpsSpec extends SparkSpec {
       truth)
   }
 
+  test("multi-iteration Lloyd: iters=1 equals lloydStep; SSE never increases") {
+    import graft.ops.Clustering
+    val vecs = (0L until 30L).map { i =>
+      (i, (0 until 8).map(j => (((i % 3) * 41 + j * 13 + i * 2) % 11 - 5).toFloat).toArray)
+    }.toDF("vec_id", "embedding")
+    assertSameRows(Clustering.lloyd(vecs, k = 4, iters = 1),
+      Clustering.lloydStep(vecs, k = 4))
+    val s1 = Clustering.sse(vecs, Clustering.lloyd(vecs, 4, 1))
+    val s3 = Clustering.sse(vecs, Clustering.lloyd(vecs, 4, 3))
+    assert(s3 <= s1, s"Lloyd iterations must not increase SSE: $s1 -> $s3")
+  }
+
+  test("embedding-cosine near-dup: near-identical vectors pair, orthogonal ones never") {
+    val base = (0 until 64).map(i => math.sin(i * 1.7).toFloat).toArray
+    val near = base.clone(); near(0) = near(0) + 0.01f
+    val far = (0 until 64).map(i => math.cos(i * 3.1).toFloat).toArray
+    val vecs = Seq((0L, base), (1L, near), (2L, far)).toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineDupPairs(vecs, minCosPpm = 900000L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("cos_ppm")))
+    assert(pairs.map(p => (p._1, p._2)).toSet === Set((0L, 1L)))
+    assert(pairs.head._3 > 990000L)
+  }
+
   test("lang id predicts the dictionary language") {
     val docs = Seq(
       (1L, "the cat is on the mat and the dog is here"),

@@ -46,6 +46,31 @@ class StreamingSpec extends SparkSpec {
       (2L, 1L) -> 1L, (2L, 2L) -> 1L))
   }
 
+  test("streaming exact dedup: duplicate texts are dropped within the watermark, state bounded") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val stream = graft.ops.Dedup.streamingExact(
+      mem.toDF().toDF("doc_id", "ts", "text"))
+    val q = stream.writeStream.format("memory").queryName("stream_dedup")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, t("2024-01-01 00:00:00"), "same text"),
+        (2L, t("2024-01-01 00:01:00"), "same text"),
+        (3L, t("2024-01-01 00:02:00"), "other text"))
+      q.processAllAvailable()
+      // duplicate arriving in a LATER microbatch still deduped (state)
+      mem.addData((4L, t("2024-01-01 00:03:00"), "same text"))
+      q.processAllAvailable()
+      val ids = spark.table("stream_dedup").collect()
+        .map(_.getAs[Long]("doc_id")).toSet
+      assert(ids.contains(3L) && ids.size === 2, s"got $ids")
+      assert(ids.contains(1L) ^ ids.contains(2L),
+        "exactly one copy of the duplicated text survives")
+      assert(!ids.contains(4L), "cross-batch duplicate must be dropped")
+    } finally q.stop()
+  }
+
   test("late events within watermark are still aggregated") {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
