@@ -28,17 +28,18 @@ object RelEntry {
         count(lit(1)).as("n_rows"))
 
   /** Top-3 parts by revenue per supplier nation: join + window rank.
-    * Dimension sides broadcast; the fact table shuffles once on the
-    * grouping key. */
+    * part/supplier grow with SF -> size-gated broadcast (Joins.dim);
+    * nation is a fixed 25-row vocabulary -> unconditional hint. The fact
+    * table shuffles once on the grouping key. */
   private def qTopParts(s: SparkSession, dir: String): DataFrame = {
     val l = s.read.parquet(s"$dir/lineitem.parquet")
     val p = s.read.parquet(s"$dir/part.parquet")
     val su = s.read.parquet(s"$dir/supplier.parquet")
     val n = s.read.parquet(s"$dir/nation.parquet")
     val rev = l
-      .join(broadcast(su), l("l_suppkey") === su("s_suppkey"))
+      .join(graft.canonical.Joins.dim(su), l("l_suppkey") === su("s_suppkey"))
       .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
-      .join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .join(graft.canonical.Joins.dim(p), l("l_partkey") === p("p_partkey"))
       .groupBy(col("n_name"), col("p_name"))
       .agg(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue_cents"))
     val w = Window.partitionBy("n_name")
@@ -52,7 +53,7 @@ object RelEntry {
   private def qChangedParts(s: SparkSession, dir: String): DataFrame = {
     val l = s.read.parquet(s"$dir/lineitem.parquet")
     val p = s.read.parquet(s"$dir/part.parquet")
-    val joined = l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+    val joined = l.join(graft.canonical.Joins.dim(p), l("l_partkey") === p("p_partkey"))
       .select(regexp_replace(col("p_name"), " ", "_").as("entity"),
         col("l_shipdate"), col("l_quantity"))
     def side(pred: org.apache.spark.sql.Column, name: String) =
