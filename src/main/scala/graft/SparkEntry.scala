@@ -413,6 +413,61 @@ object SparkEntry {
           lit("")).as("emb_csv"))
   }
 
+  /** Issue→PR bridge (reference issue_to_pr_edges,
+    * knowledge_graph.py:1282-1307): issue numbers cross-referenced in the
+    * turns where a PR's supplier appears, validated against the issues
+    * side table, emitted as distinct (issue, pr) id pairs — the
+    * reference's source/target edge shape. Both dims are size-gated; the
+    * per-supplier fan-in join is salted from conv_id. */
+  private def qIssuePrEdges(s: SparkSession, dir: String): DataFrame = {
+    val refs = transcriptsOf(s, dir).select(
+      col("conv_id"), col("turn_idx").cast("long").as("turn_idx"),
+      explode(regexp_extract_all(col("text"), lit("ref #([0-9]+)"), lit(1))).as("r"))
+      .select(col("conv_id"), col("turn_idx"), col("r").cast("long").as("issue_id"))
+    val issues = s.read.parquet(s"$dir/part.parquet")
+      .select((col("p_partkey") % 997).cast("long").as("issue_id")).distinct()
+    val valid = refs.join(graft.canonical.Joins.dim(issues), Seq("issue_id"))
+    val supplied = graft.graph.Pipeline.triples(s, dir)
+      .filter(col("pred") === "supplies")
+      .select(col("conv_id"), col("turn_idx").cast("long").as("turn_idx"),
+        col("subj").as("canonical_name"))
+    val prs = s.read.parquet(s"$dir/supplier.parquet").select(
+      concat(lit("supplier:"), col("s_name")).as("canonical_name"),
+      col("s_suppkey").cast("long").as("pr_id"))
+    val linked = valid.join(supplied, Seq("conv_id", "turn_idx"))
+    graft.canonical.Joins
+      .innerSkewSafe(linked, prs, "canonical_name", saltFrom = Seq("conv_id"))
+      .select(col("issue_id"), col("pr_id"))
+      .distinct()
+  }
+
+  /** Developer dim (reference developers_df — dev_id/dev_name/dev_email/
+    * dev_full, knowledge_graph.py:1355-1380): one developer per nation,
+    * the PR-author vocabulary. Contact strings are deterministically
+    * built (conditional concat, X-family), never parsed. */
+  private def qDevNodes(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/nation.parquet").select(
+      col("n_nationkey").cast("long").as("dev_id"),
+      col("n_name").as("dev_name"),
+      concat(lower(regexp_replace(col("n_name"), " ", "_")),
+        lit("@dev.example")).as("dev_email"),
+      concat(lit("Team "), col("n_name")).as("dev_full"))
+
+  /** PR-author→function edges (reference dev_edges_df — dev_id, func_id,
+    * pr_number: the PR→func ⋈ PR→author join,
+    * knowledge_graph.py:1407-1417): each PR's linked entity attributed to
+    * the PR author (the supplier's nation). The node side is size-gated. */
+  private def qDevEdges(s: SparkSession, dir: String): DataFrame = {
+    val prs = s.read.parquet(s"$dir/supplier.parquet").select(
+      col("s_suppkey").cast("long").as("pr_number"),
+      col("s_nationkey").cast("long").as("dev_id"),
+      concat(lit("supplier:"), col("s_name")).as("canonical_name"))
+    val n = graft.graph.Pipeline.nodes(s, dir)
+      .select(col("canonical_name"), col("node_id").as("func_id"))
+    prs.join(graft.canonical.Joins.dim(n), Seq("canonical_name"))
+      .select(col("dev_id"), col("func_id"), col("pr_number"))
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kg_transcripts" -> (qTranscripts _),
@@ -447,6 +502,9 @@ object SparkEntry {
     "kg_cluster_edges" -> (qClusterEdges _),
     "kg_pr_edges" -> (qPrEdges _),
     "kg_nodes_vec" -> (qNodesVec _),
+    "kg_issue_pr_edges" -> (qIssuePrEdges _),
+    "kg_dev_nodes" -> (qDevNodes _),
+    "kg_dev_edges" -> (qDevEdges _),
   ) ++ OpsEntry.queries ++ RelEntry.queries
 
   // ---- DuckDB oracle (structural reconstruction; never parses text) ----
@@ -919,6 +977,29 @@ object SparkEntry {
         |            ELSE CAST(s_suppkey * 37 % 1000 AS BIGINT) END AS merged_by
         |FROM supplier
         |JOIN nodes n ON 'supplier:'||s_name = n.canonical_name""".stripMargin),
+
+    "kg_issue_pr_edges" -> withBase(
+      """, refs AS (SELECT conv_id, CAST(2*k AS BIGINT) AS turn_idx,
+        |                 CAST(pk % 1500 AS BIGINT) AS issue_id, sname
+        |          FROM li WHERE k % 5 = 0),
+        |iss AS (SELECT DISTINCT CAST(p_partkey % 997 AS BIGINT) AS issue_id FROM part),
+        |prs AS (SELECT 'supplier:'||s_name AS sname, CAST(s_suppkey AS BIGINT) AS pr_id FROM supplier)
+        |SELECT DISTINCT r.issue_id, p.pr_id
+        |FROM refs r JOIN iss ON r.issue_id = iss.issue_id
+        |JOIN prs p ON r.sname = p.sname""".stripMargin),
+
+    "kg_dev_nodes" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS dev_id, n_name AS dev_name,
+        |       lower(replace(n_name,' ','_'))||'@dev.example' AS dev_email,
+        |       'Team '||n_name AS dev_full
+        |FROM nation""".stripMargin,
+
+    "kg_dev_edges" -> withBase(
+      """, prn AS (SELECT CAST(s_nationkey AS BIGINT) AS dev_id,
+        |                CAST(s_suppkey AS BIGINT) AS pr_number,
+        |                'supplier:'||s_name AS cname FROM supplier)
+        |SELECT p.dev_id, n.node_id AS func_id, p.pr_number
+        |FROM prn p JOIN nodes n ON p.cname = n.canonical_name""".stripMargin),
 
     "kg_nodes_vec" -> withBase(
       """, e AS (
