@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Clustering, Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{Clustering, Curation, Dedup, Multimodal, Similarity, TextOps}
 
 /** Driver-contract queries for the training-data pipeline operators
   * (dedup / similarity / text analysis / multimodal) over the `documents`
@@ -56,6 +56,26 @@ object OpsEntry {
       val e = emb(s, dir)
       Similarity.ivfTopK(e, Similarity.ivfAssign(e, nCells = 16),
         nQueries = 20, k = 10, nCells = 16, nProbes = 2)
+    }),
+
+    // near-dup collapse: CC over verified LSH pairs -> dup_group + keep
+    "doc_dup_clusters" -> ((s, dir) => Dedup.dupClusters(docs(s, dir))),
+
+    // deterministic hash-threshold sampling stratified by predicted lang
+    "doc_sample_strata" -> ((s, dir) => {
+      val lang = TextOps.langId(docs(s, dir))
+        .select(col("doc_id").cast("long").as("doc_id"), col("pred_lang"))
+      Curation.stratifiedSample(lang, "pred_lang",
+        Seq("en" -> "40", "und" -> "80"), "zz")
+    }),
+
+    // training-mix statistics: per-language doc/token counts + token share
+    "doc_mix_stats" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val lang = TextOps.langId(d).select(col("doc_id"), col("pred_lang"))
+      val toks = d.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("ws_tokens"))
+      Curation.mixStats(lang.join(toks, Seq("doc_id")), "pred_lang", "ws_tokens")
     }),
   )
 
@@ -116,6 +136,25 @@ object OpsEntry {
 
   private def dictSql(l: String) =
     TextOps.langDicts.toMap.apply(l).map(w => s"'$w'").mkString(", ")
+
+  /** `lang` CTE: (doc_id, pred_lang) — the language-ID decision shared by
+    * doc_lang_id (which also exposes the ratios), the stratified-sampling
+    * oracle, and the mix-stats oracle. */
+  private val langPredCte: String = {
+    val rs = TextOps.langDicts.map { case (l, _) =>
+      s"${langRatio(dictSql(l))} AS r_$l"
+    }.mkString(",\n       ")
+    val g = TextOps.langDicts.map(x => s"r_${x._1}").mkString("greatest(", ", ", ")")
+    val cases = TextOps.langDicts.map { case (l, _) =>
+      s"WHEN r_$l = $g AND r_$l > 0 THEN '$l'"
+    }.mkString(" ")
+    s"""lang AS (
+      |  SELECT doc_id, CASE $cases ELSE 'und' END AS pred_lang
+      |  FROM (SELECT doc_id,
+      |        $rs
+      |  FROM documents)
+      |)""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "doc_dedup_exact" ->
@@ -301,6 +340,64 @@ object OpsEntry {
         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_ppm DESC, vec_id) AS BIGINT) AS rank
         |  FROM simq
         |) WHERE rank <= 10""".stripMargin,
+
+    // near-dup clusters: LSH candidates -> integer-exact Jaccard >= 1/2
+    // (3*inter >= |A|+|B|) -> min-label reachability (same recursive
+    // pattern as the kg_components oracle); singletons keep their own id
+    "doc_dup_clusters" ->
+      s"""WITH RECURSIVE ${shingleCte(3)},
+        |m AS (SELECT doc_id, $minhashCols FROM shf GROUP BY doc_id),
+        |bkt AS (SELECT doc_id, 0 AS band, md5(m0||m1) AS bucket FROM m
+        |        UNION ALL SELECT doc_id, 1, md5(m2||m3) FROM m
+        |        UNION ALL SELECT doc_id, 2, md5(m4||m5) FROM m
+        |        UNION ALL SELECT doc_id, 3, md5(m6||m7) FROM m),
+        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |         FROM bkt x JOIN bkt y
+        |           ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+        |dsh AS (SELECT DISTINCT doc_id, shingle FROM shf),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM dsh GROUP BY doc_id),
+        |ins AS (SELECT c.a, c.b, count(*) AS i
+        |        FROM cand c
+        |        JOIN dsh p ON p.doc_id = c.a
+        |        JOIN dsh q ON q.doc_id = c.b AND q.shingle = p.shingle
+        |        GROUP BY c.a, c.b),
+        |pairs AS (SELECT ins.a, ins.b FROM ins
+        |          JOIN sz za ON za.doc_id = ins.a
+        |          JOIN sz zb ON zb.doc_id = ins.b
+        |          WHERE 3*ins.i >= za.sz + zb.sz),
+        |und AS (SELECT DISTINCT s, d FROM (
+        |  SELECT a AS s, b AS d FROM pairs UNION ALL SELECT b, a FROM pairs
+        |)),
+        |verts AS (SELECT DISTINCT s AS id FROM und),
+        |reach AS (
+        |  SELECT id, id AS comp FROM verts
+        |  UNION
+        |  SELECT u.d AS id, r.comp FROM reach r JOIN und u ON u.s = r.id WHERE r.comp < u.d
+        |),
+        |comp AS (SELECT id, min(comp) AS component FROM reach GROUP BY id)
+        |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+        |       CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS dup_group,
+        |       CAST(CASE WHEN coalesce(c.component, d.doc_id) = d.doc_id THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id""".stripMargin,
+
+    "doc_sample_strata" ->
+      s"""WITH $langPredCte
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, pred_lang, sample_key
+        |FROM (SELECT doc_id, pred_lang,
+        |             substr(md5('smp|'||CAST(doc_id AS VARCHAR)),1,2) AS sample_key
+        |      FROM lang)
+        |WHERE sample_key < CASE pred_lang WHEN 'en' THEN '40' WHEN 'und' THEN '80' ELSE 'zz' END""".stripMargin,
+
+    "doc_mix_stats" ->
+      s"""WITH $langPredCte,
+        |t AS (SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS ws_tokens
+        |      FROM documents),
+        |per AS (SELECT pred_lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |               CAST(sum(ws_tokens) AS BIGINT) AS tokens
+        |        FROM lang JOIN t USING(doc_id) GROUP BY pred_lang)
+        |SELECT pred_lang, n_docs, tokens,
+        |       CAST(round(CAST(tokens AS DOUBLE) / CAST((SELECT sum(tokens) FROM per) AS DOUBLE) * 1000000) AS BIGINT) AS token_share_ppm
+        |FROM per""".stripMargin,
 
     "emb_lsh_buckets" ->
       s"""WITH $lshBucketCtes

@@ -357,14 +357,17 @@ object SparkEntry {
   }
 
   /** Cluster nodes (reference cluster_nodes, knowledge_graph.py:1201-1209):
-    * one row per cluster with its member count — the side-car vocabulary
-    * attached to the graph. */
+    * one row per cluster with its member count and a deterministic
+    * summary — the first member name, standing in for the reference's
+    * LLM-generated cluster_summary (knowledge_graph.py:1275-1276). */
   private def qClusterNodes(s: SparkSession, dir: String): DataFrame =
     nodeClusters(s, dir)
       .groupBy(col("cluster").cast("long").as("cluster_id"))
-      .agg(count(lit(1)).as("n_members"))
+      .agg(count(lit(1)).as("n_members"),
+        min(col("canonical_name")).as("cluster_summary"))
       .select(concat(lit("cluster:"), col("cluster_id").cast("string"))
-        .as("cluster_name"), col("cluster_id"), col("n_members"))
+        .as("cluster_name"), col("cluster_id"), col("n_members"),
+        col("cluster_summary"))
 
   /** Cluster→entity edges (reference cluster_function_edges,
     * knowledge_graph.py:1210-1218, J8): every embedded node linked to its
@@ -959,7 +962,8 @@ object SparkEntry {
       s"""WITH $baseCtes, ${OpsEntry.clusterCtes}
         |SELECT 'cluster:'||cluster AS cluster_name,
         |       CAST(cluster AS BIGINT) AS cluster_id,
-        |       CAST(count(*) AS BIGINT) AS n_members
+        |       CAST(count(*) AS BIGINT) AS n_members,
+        |       min(n.canonical_name) AS cluster_summary
         |FROM a1 JOIN nodes n ON a1.vec_id = n.node_id
         |GROUP BY cluster""".stripMargin,
 

@@ -151,6 +151,28 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** Near-duplicate clusters — the collapse step a dedup pass runs after
+    * pair generation: verified near-dup pairs become edges of an
+    * undirected similarity graph, connected components assign every doc a
+    * `dup_group` (the min doc id of its group, singletons included), and
+    * `keep = 1` marks the canonical representative a dedup pass would
+    * retain. Pair generation is the bucketed LSH path (never all-pairs)
+    * and the CC loop is O(log n) rounds of key-partitioned joins — both
+    * 100 TB-safe. The default threshold 1/2 is decided on integers in the
+    * oracle (3·inter >= |A|+|B|), so engines agree exactly. */
+  def dupClusters(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", threshold: Double = 0.5): DataFrame = {
+    val pairs = verifyJaccard(docs,
+      candidatePairs(minhashBuckets(docs, idCol, textCol), idCol),
+      threshold, idCol, textCol)
+    val comp = graft.canonical.ConnectedComponents.runWithNodes(
+      docs.select(col(idCol).cast("long").as("id")),
+      pairs.select(col("a").cast("long").as("src"),
+        col("b").cast("long").as("dst")))
+    comp.select(col("id").as(idCol), col("component").as("dup_group"),
+      (col("id") === col("component")).cast("long").as("keep"))
+  }
+
   /** 16-bit SimHash from the top bit of 16 md5-hex positions per token
     * (each hex-digit top bit is an independent 1-bit hash). Portable to
     * any engine with md5 + substr. */

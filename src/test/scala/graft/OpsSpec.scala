@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{Curation, Dedup, Multimodal, Similarity, TextOps}
 
 class OpsSpec extends SparkSpec {
   import spark.implicits._
@@ -54,6 +54,46 @@ class OpsSpec extends SparkSpec {
     val v = Dedup.verifyJaccard(corpus, pairs, threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(v === Set((1L, 2L)))
+  }
+
+  test("near-dup clusters: CC over verified pairs; singletons keep their own id") {
+    val c = Dedup.dupClusters(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // 1-4 exact dup, 1-2 near dup (jaccard 9/13) -> one group rooted at 1;
+    // 3 and 5 have no verified pair -> singleton groups, keep = 1
+    assert(c === Set((1L, 1L, 1L), (2L, 1L, 0L), (4L, 1L, 0L),
+      (3L, 3L, 1L), (5L, 5L, 1L)))
+  }
+
+  test("stratified sampling: deterministic hash threshold, per-stratum rates") {
+    val rows = (1L to 200L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "pred_lang")
+    val kept = Curation.stratifiedSample(rows, "pred_lang",
+      Seq("en" -> "00"), "zz").collect()
+    // "00" sorts below every md5 prefix -> stratum fully dropped; default
+    // "zz" sorts above every hex digit -> stratum fully kept
+    assert(kept.length === 100)
+    assert(kept.forall(_.getAs[String]("pred_lang") == "de"))
+    val again = Curation.stratifiedSample(rows, "pred_lang",
+      Seq("en" -> "00"), "zz").collect()
+    assert(again.map(_.getAs[Long]("doc_id")).sorted
+      .sameElements(kept.map(_.getAs[Long]("doc_id")).sorted),
+      "sampling must be deterministic across runs")
+    val half = Curation.stratifiedSample(rows, "pred_lang",
+      Seq("de" -> "80"), "zz")
+      .filter(col("pred_lang") === "de").count()
+    assert(half > 20 && half < 80, s"expected ~50 of 100 at threshold 80, got $half")
+  }
+
+  test("mix stats: per-stratum counts exact, token shares in ppm") {
+    val rows = Seq((1L, "en", 100L), (2L, "en", 50L), (3L, "de", 50L))
+      .toDF("doc_id", "pred_lang", "ws_tokens")
+    val m = Curation.mixStats(rows, "pred_lang", "ws_tokens").collect()
+    val byLang = m.map(r => r.getAs[String]("pred_lang") -> r).toMap
+    assert(byLang("en").getAs[Long]("n_docs") === 2L)
+    assert(byLang("en").getAs[Long]("tokens") === 150L)
+    assert(byLang("en").getAs[Long]("token_share_ppm") === 750000L)
+    assert(byLang("de").getAs[Long]("token_share_ppm") === 250000L)
   }
 
   test("simhash: near-dups differ in few bits, unrelated docs in many") {
