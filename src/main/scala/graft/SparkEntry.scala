@@ -471,6 +471,44 @@ object SparkEntry {
       .select(col("dev_id"), col("func_id"), col("pr_number"))
   }
 
+  /** Artifact side table (reference artifacts — ID, artifact_name,
+    * artifact_size:int, created_at/updated_at:timestamp,
+    * knowledge_graph.py:852-872): one build artifact per conversation,
+    * carrying the timestamp-typed properties the reference's scraped
+    * artifact rows have. Size is integer-derived so engines agree
+    * exactly; timestamps cross the comparison boundary natively. */
+  private def qArtifactNodes(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/orders.parquet").select(
+      col("o_orderkey").cast("long").as("artifact_id"),
+      concat(lit("artifact-"), col("o_orderkey").cast("string"))
+        .as("artifact_name"),
+      ((col("o_orderkey") % 100000) * 3 + 17).cast("long").as("artifact_size"),
+      col("o_orderdate").cast("timestamp").as("created_at"),
+      date_add(col("o_orderdate"), (col("o_orderkey") % 30).cast("int"))
+        .cast("timestamp").as("updated_at"),
+      concat(lit("c"), col("o_orderkey").cast("string")).as("conv_id"))
+
+  /** Config side table + hierarchy linkage (reference config_nodes with
+    * raw file bytes in a cell + file_config_edges,
+    * knowledge_graph.py:1061-1116; content read call_graph.py:166-184):
+    * every tool-bearing turn contributes a config row whose content
+    * travels as a BINARY cell (utf-8 encode); the comparison boundary is
+    * scalar (byte count + md5). Each row links to its conversation's
+    * hierarchy leaf exactly like file_config_edges links configs into the
+    * folder tree. */
+  private def qConfigNodes(s: SparkSession, dir: String): DataFrame = {
+    val t = transcriptsOf(s, dir).filter(col("tool") =!= "")
+      .select(col("conv_id"), col("turn_idx").cast("long").as("turn_idx"),
+        col("tool"), encode(col("text"), "UTF-8").as("config"))
+      .withColumn("name", concat(lit("conv:"), col("conv_id")))
+    val hier = graft.graph.Hierarchy.nodes(transcriptsOf(s, dir))
+      .filter(!col("is_folder")).select(col("name"), col("hier_id"))
+    graft.canonical.Joins.innerSkewSafe(t, hier, "name", saltFrom = Seq("conv_id"))
+      .select(col("conv_id"), col("turn_idx"), col("tool"), col("hier_id"),
+        octet_length(col("config")).cast("long").as("n_bytes"),
+        md5(col("config")).as("config_hash"))
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kg_transcripts" -> (qTranscripts _),
@@ -508,6 +546,8 @@ object SparkEntry {
     "kg_issue_pr_edges" -> (qIssuePrEdges _),
     "kg_dev_nodes" -> (qDevNodes _),
     "kg_dev_edges" -> (qDevEdges _),
+    "kg_artifact_nodes" -> (qArtifactNodes _),
+    "kg_config_nodes" -> (qConfigNodes _),
   ) ++ OpsEntry.queries ++ RelEntry.queries
 
   // ---- DuckDB oracle (structural reconstruction; never parses text) ----
@@ -997,6 +1037,24 @@ object SparkEntry {
         |       lower(replace(n_name,' ','_'))||'@dev.example' AS dev_email,
         |       'Team '||n_name AS dev_full
         |FROM nation""".stripMargin,
+
+    "kg_config_nodes" ->
+      s"""WITH tr AS (${Transcripts.fromTpchOracleSql}),
+        |$hierNodesCte
+        |SELECT tr.conv_id, tr.turn_idx, tr.tool, h.hier_id,
+        |       CAST(octet_length(encode(tr.text)) AS BIGINT) AS n_bytes,
+        |       md5(tr.text) AS config_hash
+        |FROM tr JOIN hid h ON 'conv:'||tr.conv_id = h.name
+        |WHERE tr.tool <> ''""".stripMargin,
+
+    "kg_artifact_nodes" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS artifact_id,
+        |       'artifact-'||o_orderkey AS artifact_name,
+        |       CAST((o_orderkey % 100000) * 3 + 17 AS BIGINT) AS artifact_size,
+        |       CAST(o_orderdate AS TIMESTAMP) AS created_at,
+        |       CAST(o_orderdate + (o_orderkey % 30) * INTERVAL 1 DAY AS TIMESTAMP) AS updated_at,
+        |       'c'||o_orderkey AS conv_id
+        |FROM orders""".stripMargin,
 
     "kg_dev_edges" -> withBase(
       """, prn AS (SELECT CAST(s_nationkey AS BIGINT) AS dev_id,

@@ -126,6 +126,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Generate"), "no explode in the projection path")
   }
 
+  test("stratified sampling is a pure per-row filter: no shuffle in the plan") {
+    val lang = TextOps.langId(spark.read.parquet(s"$sfDir/documents.parquet"))
+      .select(col("doc_id"), col("pred_lang"))
+    val p = plan(graft.ops.Curation.stratifiedSample(lang, "pred_lang",
+      Seq("en" -> "40"), "zz"))
+    assert(!p.contains("Exchange"),
+      s"hash-threshold sampling must not shuffle:\n${p.take(1200)}")
+  }
+
+  test("mix stats: the grand total joins as a broadcast single row") {
+    val rows = spark.range(100).select(col("id").as("doc_id"),
+      (col("id") % 3).cast("string").as("pred_lang"), lit(5L).as("ws_tokens"))
+    val p = plan(graft.ops.Curation.mixStats(rows, "pred_lang", "ws_tokens"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the one-row grand total must broadcast, never shuffle the strata:\n${p.take(1200)}")
+  }
+
   test("brute-force ANN broadcasts the query side") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val p = plan(graft.ops.Similarity.bruteForceTopK(e, 5, 3))
