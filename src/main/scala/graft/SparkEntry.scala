@@ -140,10 +140,11 @@ object SparkEntry {
   }
 
   private def qHierarchyNodes(s: SparkSession, dir: String): DataFrame =
-    graft.graph.Hierarchy.nodes(transcriptsOf(s, dir))
+    graft.graph.Pipeline.hierNodes(s, dir)
 
   private def qHierarchyEdges(s: SparkSession, dir: String): DataFrame =
-    graft.graph.Hierarchy.graph(transcriptsOf(s, dir))._2
+    graft.graph.Hierarchy.edges(transcriptsOf(s, dir),
+      graft.graph.Pipeline.hierNodes(s, dir))
 
   private def qSegmentNodes(s: SparkSession, dir: String): DataFrame =
     Extract.segmentNodes(transcriptsOf(s, dir)).select(
@@ -336,7 +337,7 @@ object SparkEntry {
     val withNode = graft.canonical.Joins
       .innerSkewSafe(defs, n, "canonical_name", saltFrom = Seq("conv_id"))
       .withColumn("name", concat(lit("conv:"), col("conv_id")))
-    val hier = graft.graph.Hierarchy.nodes(transcriptsOf(s, dir))
+    val hier = graft.graph.Pipeline.hierNodes(s, dir)
       .filter(!col("is_folder")).select(col("name"), col("hier_id"))
     graft.canonical.Joins
       .innerSkewSafe(withNode, hier, "name", saltFrom = Seq("canonical_name"))
@@ -501,7 +502,7 @@ object SparkEntry {
       .select(col("conv_id"), col("turn_idx").cast("long").as("turn_idx"),
         col("tool"), encode(col("text"), "UTF-8").as("config"))
       .withColumn("name", concat(lit("conv:"), col("conv_id")))
-    val hier = graft.graph.Hierarchy.nodes(transcriptsOf(s, dir))
+    val hier = graft.graph.Pipeline.hierNodes(s, dir)
       .filter(!col("is_folder")).select(col("name"), col("hier_id"))
     graft.canonical.Joins.innerSkewSafe(t, hier, "name", saltFrom = Seq("conv_id"))
       .select(col("conv_id"), col("turn_idx"), col("tool"), col("hier_id"),

@@ -49,6 +49,17 @@ object Pipeline {
       Extract.mentions(Transcripts.fromTpch(spark, sfDir))
     }
 
+  /** Hierarchy node table (corpus/month/conv leaves with dense bucketed
+    * IDs): four query consumers (hierarchy nodes + edges, the
+    * conv→entity bridge, config rows) would otherwise each re-run the
+    * turn-0 projection and both bucketed-ID passes. A tiny table (one
+    * row per conversation + folders), so the stage write is cheap and
+    * every consumer after the first reads parquet. */
+  def hierNodes(spark: SparkSession, sfDir: String): DataFrame =
+    StageStore.getOrCreate(spark, sfDir, "hier_nodes") {
+      Hierarchy.nodes(transcripts(spark, sfDir))
+    }
+
   def resolved(spark: SparkSession, sfDir: String): DataFrame =
     StageStore.getOrCreate(spark, sfDir, "resolved") {
       Resolve.resolved(mentions(spark, sfDir))
