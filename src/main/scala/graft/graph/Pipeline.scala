@@ -68,6 +68,31 @@ object Pipeline {
   def entityNames(spark: SparkSession, sfDir: String): DataFrame =
     Triples.entityNames(mentions(spark, sfDir))
 
+  /** Append-only incremental build over a NEW batch of conversations.
+    *
+    * Extraction and resolution are conversation-local (every window and
+    * join keys on conv_id), so the new batch is processed ALONE and
+    * unioned with the committed stage tables — the existing corpus is
+    * never re-derived. The only whole-corpus step is the vocabulary
+    * semi-join (a relation in an old conversation may name an entity the
+    * new batch just defined), which re-runs as ONE hash semi-join over
+    * the unioned tables — the 100 TB cost of an append is
+    * O(new batch) + one join, not O(corpus).
+    *
+    * Dense IDs are deliberately NOT incremental: the bucketed assigner
+    * re-keys from the unioned triple set downstream (a new name shifts
+    * its bucket's sequence — stable IDs across appends would need an ID
+    * ledger, a different contract than the reference's rebuild-world
+    * semantics, knowledge_graph.py rebuilds all IDs per run too).
+    * Returns (mentions, resolved, triples) over the combined corpus. */
+  def appendBatch(committedMentions: DataFrame, committedResolved: DataFrame,
+      newTranscripts: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val m = committedMentions.unionByName(Extract.mentions(newTranscripts))
+    val r = committedResolved.unionByName(Resolve.resolved(
+      Extract.mentions(newTranscripts)))
+    (m, r, Triples.knownOnly(r, Triples.entityNames(m)))
+  }
+
   def nodes(spark: SparkSession, sfDir: String): DataFrame =
     StageStore.getOrCreate(spark, sfDir, "nodes") {
       Canonical.nodes(entityNames(spark, sfDir))

@@ -34,6 +34,25 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("append-incremental: a new conv batch unions with committed stages, equals full recompute") {
+    // conversation-local stages make appends O(new batch): process the new
+    // conversations alone, union with the committed tables, re-run only
+    // the vocabulary semi-join. Must be row-identical to rebuilding the
+    // whole corpus (including cross-batch links: a new conv defining an
+    // entity an OLD conv referenced flips that old relation into a triple).
+    val full = graft.sources.Transcripts.synthetic(spark, 30, 8)
+    val old = full.filter(xxhash64(col("conv_id")) % 2 === 0)
+    val neu = full.filter(xxhash64(col("conv_id")) % 2 =!= 0)
+    val mOld = graft.extract.Extract.mentions(old)
+    val (m, _, t) = Pipeline.appendBatch(mOld, graft.link.Resolve.resolved(mOld), neu)
+    val mFull = graft.extract.Extract.mentions(full)
+    val tFull = graft.triples.Triples.knownOnly(
+      graft.link.Resolve.resolved(mFull), graft.triples.Triples.entityNames(mFull))
+    assert(rowSet(m) === rowSet(mFull), "mention stage must be append-exact")
+    assert(rowSet(t) === rowSet(tFull), "incremental triples must equal full recompute")
+    assert(t.count() > 0)
+  }
+
   test("lineage has per-partition rows; metrics carry stage throughput") {
     withStageRoot {
       val sfDir = "/root/testdata/sf0.001"

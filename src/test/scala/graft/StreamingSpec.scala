@@ -112,4 +112,32 @@ class StreamingSpec extends SparkSpec {
       assert(got.size === 5) // 1 def + 1 alias + 1 link + 2 chain hops
     } finally q.stop()
   }
+
+  test("curation ops run unchanged under Structured Streaming (stateless filter)") {
+    // lang-ID + hash-threshold sampling are pure per-row expressions, so
+    // an ingest stream can be curated with the same code as the batch
+    // path — no state, no watermark, identical keep decisions.
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Seq(
+      (1L, "the of and to in a is it for on the and"),
+      (2L, "der die und das ist ein nicht mit sich auf"),
+      (3L, "el la de que y en un ser se no"),
+      (4L, "the and to of in it on for is a"))
+    def curate(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Curation.stratifiedSample(
+        graft.ops.TextOps.langId(df).select($"doc_id", $"pred_lang"),
+        "pred_lang", Seq("en" -> "80"), "zz")
+    val mem = MemoryStream[(Long, String)]
+    val q = curate(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("cur_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(docs: _*)
+      q.processAllAvailable()
+      val got = rowSet(spark.table("cur_stream"))
+      val want = rowSet(curate(docs.toDF("doc_id", "text")))
+      assert(got === want)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
 }
