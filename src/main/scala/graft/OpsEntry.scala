@@ -69,14 +69,17 @@ object OpsEntry {
         Seq("en" -> "40", "und" -> "80"), "zz")
     }),
 
-    // training-mix statistics: per-language doc/token counts + token share
-    "doc_mix_stats" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val lang = TextOps.langId(d).select(col("doc_id"), col("pred_lang"))
-      val toks = d.select(col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("ws_tokens"))
-      Curation.mixStats(lang.join(toks, Seq("doc_id")), "pred_lang", "ws_tokens")
-    }),
+    // training-mix statistics: per-language doc/token counts + token
+    // share. ONE corpus scan: token counts ride the lang-ID projection
+    // (`carry`) straight into the map-side-combinable aggregation — no
+    // self-join of two scans of the same table.
+    "doc_mix_stats" -> ((s, dir) =>
+      Curation.mixStats(
+        TextOps.langId(
+          docs(s, dir).withColumn("ws_tokens",
+            size(split(col("text"), " ")).cast("long")),
+          carry = Seq("ws_tokens")),
+        "pred_lang", "ws_tokens")),
   )
 
   /** Quantized-embedding CTE shared by every cluster oracle. */
@@ -137,24 +140,33 @@ object OpsEntry {
   private def dictSql(l: String) =
     TextOps.langDicts.toMap.apply(l).map(w => s"'$w'").mkString(", ")
 
+  /** Language-decision SQL fragments, built ONCE from langDicts: the
+    * ratio projections, the greatest() argmax, and the tie-breaking CASE
+    * (langs sorted asc => first max wins, mirroring TextOps.langId's
+    * foldRight). Both the doc_lang_id oracle and langPredCte are
+    * generated from these, so the decision logic cannot desynchronize. */
+  private val langRatioSelects: String = TextOps.langDicts.map { case (l, _) =>
+    s"${langRatio(dictSql(l))} AS r_$l"
+  }.mkString(",\n       ")
+  private val langGreatest: String =
+    TextOps.langDicts.map(x => s"r_${x._1}").mkString("greatest(", ", ", ")")
+  private val langCase: String = {
+    val cases = TextOps.langDicts.map { case (l, _) =>
+      s"WHEN r_$l = $langGreatest AND r_$l > 0 THEN '$l'"
+    }.mkString(" ")
+    s"CASE $cases ELSE 'und' END"
+  }
+
   /** `lang` CTE: (doc_id, pred_lang) — the language-ID decision shared by
     * doc_lang_id (which also exposes the ratios), the stratified-sampling
     * oracle, and the mix-stats oracle. */
-  private val langPredCte: String = {
-    val rs = TextOps.langDicts.map { case (l, _) =>
-      s"${langRatio(dictSql(l))} AS r_$l"
-    }.mkString(",\n       ")
-    val g = TextOps.langDicts.map(x => s"r_${x._1}").mkString("greatest(", ", ", ")")
-    val cases = TextOps.langDicts.map { case (l, _) =>
-      s"WHEN r_$l = $g AND r_$l > 0 THEN '$l'"
-    }.mkString(" ")
+  private val langPredCte: String =
     s"""lang AS (
-      |  SELECT doc_id, CASE $cases ELSE 'und' END AS pred_lang
+      |  SELECT doc_id, $langCase AS pred_lang
       |  FROM (SELECT doc_id,
-      |        $rs
+      |        $langRatioSelects
       |  FROM documents)
       |)""".stripMargin
-  }
 
   def oracleSql: Map[String, String] = Map(
     "doc_dedup_exact" ->
@@ -205,20 +217,12 @@ object OpsEntry {
         |  FROM scored
         |) WHERE rk <= 5""".stripMargin,
 
-    "doc_lang_id" -> {
-      val rs = TextOps.langDicts.map { case (l, _) =>
-        s"${langRatio(dictSql(l))} AS r_$l"
-      }.mkString(",\n       ")
-      val g = TextOps.langDicts.map(x => s"r_${x._1}").mkString("greatest(", ", ", ")")
-      val cases = TextOps.langDicts.map { case (l, _) =>
-        s"WHEN r_$l = $g AND r_$l > 0 THEN '$l'"
-      }.mkString(" ")
+    "doc_lang_id" ->
       s"""SELECT doc_id, r_de, r_en, r_es, r_fr, r_zh,
-        |       CASE $cases ELSE 'und' END AS pred_lang
+        |       $langCase AS pred_lang
         |FROM (SELECT doc_id,
-        |       $rs
-        |FROM documents)""".stripMargin
-    },
+        |       $langRatioSelects
+        |FROM documents)""".stripMargin,
 
     "doc_quality" ->
       s"""SELECT doc_id,
@@ -341,9 +345,11 @@ object OpsEntry {
         |  FROM simq
         |) WHERE rank <= 10""".stripMargin,
 
-    // near-dup clusters: LSH candidates -> integer-exact Jaccard >= 1/2
-    // (3*inter >= |A|+|B|) -> min-label reachability (same recursive
-    // pattern as the kg_components oracle); singletons keep their own id
+    // near-dup clusters: LSH candidates (with candidatePairs' oversized-
+    // bucket star-collapse mirrored: full pairs at n <= 1000, rep-star
+    // above) -> integer-exact Jaccard >= 1/2 (3*inter >= |A|+|B|) ->
+    // min-label reachability (same recursive pattern as the
+    // kg_components oracle); singletons keep their own id
     "doc_dup_clusters" ->
       s"""WITH RECURSIVE ${shingleCte(3)},
         |m AS (SELECT doc_id, $minhashCols FROM shf GROUP BY doc_id),
@@ -351,9 +357,18 @@ object OpsEntry {
         |        UNION ALL SELECT doc_id, 1, md5(m2||m3) FROM m
         |        UNION ALL SELECT doc_id, 2, md5(m4||m5) FROM m
         |        UNION ALL SELECT doc_id, 3, md5(m6||m7) FROM m),
-        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-        |         FROM bkt x JOIN bkt y
-        |           ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+        |bsz AS (SELECT band, bucket, count(*) AS n, min(doc_id) AS rep
+        |        FROM bkt GROUP BY band, bucket),
+        |bktz AS (SELECT bkt.doc_id, bkt.band, bkt.bucket, bsz.n, bsz.rep
+        |         FROM bkt JOIN bsz ON bkt.band = bsz.band AND bkt.bucket = bsz.bucket),
+        |cand AS (SELECT DISTINCT a, b FROM (
+        |  SELECT x.doc_id AS a, y.doc_id AS b
+        |  FROM bktz x JOIN bktz y
+        |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+        |  WHERE x.n <= 1000
+        |  UNION ALL
+        |  SELECT rep AS a, doc_id AS b FROM bktz WHERE n > 1000 AND doc_id <> rep
+        |)),
         |dsh AS (SELECT DISTINCT doc_id, shingle FROM shf),
         |sz AS (SELECT doc_id, count(*) AS sz FROM dsh GROUP BY doc_id),
         |ins AS (SELECT c.a, c.b, count(*) AS i

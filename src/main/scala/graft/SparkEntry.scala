@@ -296,20 +296,30 @@ object SparkEntry {
     * transcript text (regexp_extract_all -> explode), validate membership
     * against the issues side table, attach to the entity ordered in the
     * same turn, dedupe. */
-  private def qIssueEdges(s: SparkSession, dir: String): DataFrame = {
-    val refs = transcriptsOf(s, dir).select(
+  /** `ref #N` cross-references per (conv, turn) — the one extraction
+    * grammar shared by BOTH issue edge families (issue→entity and
+    * issue→PR); keep it single-sourced so the ref grammar can never
+    * desynchronize between them. */
+  private def issueRefsOf(s: SparkSession, dir: String): DataFrame =
+    transcriptsOf(s, dir).select(
       col("conv_id"), col("turn_idx").cast("long").as("turn_idx"),
       explode(regexp_extract_all(col("text"), lit("ref #([0-9]+)"), lit(1))).as("r"))
       .select(col("conv_id"), col("turn_idx"), col("r").cast("long").as("issue_id"))
-    // issues side table: deterministic derivation from `part` (analog of
-    // the reference's scraped issues parquet); ids >= 997 in the text have
-    // no issue row -> dropped by the validated-membership join
-    val issues = s.read.parquet(s"$dir/part.parquet")
+
+  /** Issues side table: deterministic derivation from `part` (analog of
+    * the reference's scraped issues parquet); ids >= 997 in the text have
+    * no issue row -> dropped by the validated-membership join. The %997
+    * issue universe is defined HERE only. */
+  private def issuesOf(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/part.parquet")
       .select((col("p_partkey") % 997).cast("long").as("issue_id")).distinct()
       .withColumn("state",
         element_at(array(lit("open"), lit("closed"), lit("merged")),
           (col("issue_id") % 3 + 1).cast("int")))
-    val valid = refs.join(graft.canonical.Joins.dim(issues), Seq("issue_id"))
+
+  private def qIssueEdges(s: SparkSession, dir: String): DataFrame = {
+    val valid = issueRefsOf(s, dir)
+      .join(graft.canonical.Joins.dim(issuesOf(s, dir)), Seq("issue_id"))
     val ordered = graft.graph.Pipeline.triples(s, dir)
       .filter(col("pred") === "ordered")
       .select(col("conv_id"), col("turn_idx").cast("long").as("turn_idx"),
@@ -424,13 +434,9 @@ object SparkEntry {
     * reference's source/target edge shape. Both dims are size-gated; the
     * per-supplier fan-in join is salted from conv_id. */
   private def qIssuePrEdges(s: SparkSession, dir: String): DataFrame = {
-    val refs = transcriptsOf(s, dir).select(
-      col("conv_id"), col("turn_idx").cast("long").as("turn_idx"),
-      explode(regexp_extract_all(col("text"), lit("ref #([0-9]+)"), lit(1))).as("r"))
-      .select(col("conv_id"), col("turn_idx"), col("r").cast("long").as("issue_id"))
-    val issues = s.read.parquet(s"$dir/part.parquet")
-      .select((col("p_partkey") % 997).cast("long").as("issue_id")).distinct()
-    val valid = refs.join(graft.canonical.Joins.dim(issues), Seq("issue_id"))
+    val valid = issueRefsOf(s, dir).join(
+      graft.canonical.Joins.dim(issuesOf(s, dir).select("issue_id")),
+      Seq("issue_id"))
     val supplied = graft.graph.Pipeline.triples(s, dir)
       .filter(col("pred") === "supplies")
       .select(col("conv_id"), col("turn_idx").cast("long").as("turn_idx"),
@@ -485,6 +491,10 @@ object SparkEntry {
         .as("artifact_name"),
       ((col("o_orderkey") % 100000) * 3 + 17).cast("long").as("artifact_size"),
       col("o_orderdate").cast("timestamp").as("created_at"),
+      // date_add truncates a timestamp input to DATE (midnight) — the
+      // oracle truncates identically (CAST AS DATE + n), so the two
+      // engines agree even on a corpus whose o_orderdate carries a
+      // nonzero time-of-day
       date_add(col("o_orderdate"), (col("o_orderkey") % 30).cast("int"))
         .cast("timestamp").as("updated_at"),
       concat(lit("c"), col("o_orderkey").cast("string")).as("conv_id"))
@@ -1053,7 +1063,7 @@ object SparkEntry {
         |       'artifact-'||o_orderkey AS artifact_name,
         |       CAST((o_orderkey % 100000) * 3 + 17 AS BIGINT) AS artifact_size,
         |       CAST(o_orderdate AS TIMESTAMP) AS created_at,
-        |       CAST(o_orderdate + (o_orderkey % 30) * INTERVAL 1 DAY AS TIMESTAMP) AS updated_at,
+        |       CAST(CAST(o_orderdate AS DATE) + CAST(o_orderkey % 30 AS INTEGER) AS TIMESTAMP) AS updated_at,
         |       'c'||o_orderkey AS conv_id
         |FROM orders""".stripMargin,
 

@@ -22,16 +22,10 @@ object Hierarchy {
     transcripts.filter(col("turn_idx") === 0)
       .select(col("conv_id"), date_format(col("ts"), "yyyy-MM").as("month"))
 
-  /** Nodes + edges off ONE materialized turn-0 projection (the transcript
-    * derivation would otherwise re-run for every consumer: node names,
-    * bucketed-ID passes, and both edge arms). */
-  def graph(transcripts: DataFrame): (DataFrame, DataFrame) = {
-    val t0 = turn0(transcripts).localCheckpoint()
-    val n = nodesFrom(t0)
-    (n, edgesFrom(t0, n))
-  }
-
-  /** (hier_id, name, is_folder): corpus root + month folders + conv leaves. */
+  /** (hier_id, name, is_folder): corpus root + month folders + conv
+    * leaves. Consumers share the result through the committed
+    * `Pipeline.hierNodes` stage table, which also guarantees node/edge ID
+    * consistency (edges remap against the committed node table). */
   def nodes(transcripts: DataFrame): DataFrame =
     nodesFrom(turn0(transcripts).localCheckpoint())
 

@@ -87,9 +87,13 @@ object Pipeline {
     * Returns (mentions, resolved, triples) over the combined corpus. */
   def appendBatch(committedMentions: DataFrame, committedResolved: DataFrame,
       newTranscripts: DataFrame): (DataFrame, DataFrame, DataFrame) = {
-    val m = committedMentions.unionByName(Extract.mentions(newTranscripts))
-    val r = committedResolved.unionByName(Resolve.resolved(
-      Extract.mentions(newTranscripts)))
+    // materialize the new batch's extraction ONCE — it feeds three arms
+    // (mention union, resolve, vocabulary) and regex extraction is the
+    // expensive step; a production append would StageStore-commit it,
+    // matching the rest of this module
+    val nm = Extract.mentions(newTranscripts).localCheckpoint()
+    val m = committedMentions.unionByName(nm)
+    val r = committedResolved.unionByName(Resolve.resolved(nm))
     (m, r, Triples.knownOnly(r, Triples.entityNames(m)))
   }
 

@@ -30,11 +30,14 @@ object TextOps {
   /** Predicted language = argmax stopword-hit ratio, ties broken by
     * language code order (deterministic). Emits per-language ratios. */
   def langId(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", carry: Seq[String] = Nil): DataFrame = {
     val ratios = langDicts.map { case (l, d) =>
       hitRatioPpm(col(textCol), d).as(s"r_$l")
     }
-    val withR = docs.select(col(idCol) +: ratios: _*)
+    // `carry` columns ride along in the SAME projection so a consumer
+    // needing text-derived extras (e.g. token counts for mix stats) gets
+    // them in one corpus scan instead of a second scan + join on id
+    val withR = docs.select((col(idCol) +: carry.map(col)) ++ ratios: _*)
     // argmax via greatest + chained when (langs sorted asc => first max wins)
     val best = langDicts.map(_._1).foldRight(lit("und")) { (l, acc) =>
       when(col(s"r_$l") === greatest(langDicts.map(x => col(s"r_${x._1}")): _*)

@@ -44,11 +44,13 @@ class PipelineSpec extends SparkSpec {
     val old = full.filter(xxhash64(col("conv_id")) % 2 === 0)
     val neu = full.filter(xxhash64(col("conv_id")) % 2 =!= 0)
     val mOld = graft.extract.Extract.mentions(old)
-    val (m, _, t) = Pipeline.appendBatch(mOld, graft.link.Resolve.resolved(mOld), neu)
+    val (m, r, t) = Pipeline.appendBatch(mOld, graft.link.Resolve.resolved(mOld), neu)
     val mFull = graft.extract.Extract.mentions(full)
+    val rFull = graft.link.Resolve.resolved(mFull)
     val tFull = graft.triples.Triples.knownOnly(
-      graft.link.Resolve.resolved(mFull), graft.triples.Triples.entityNames(mFull))
+      rFull, graft.triples.Triples.entityNames(mFull))
     assert(rowSet(m) === rowSet(mFull), "mention stage must be append-exact")
+    assert(rowSet(r) === rowSet(rFull), "resolution must be conversation-local (append-exact)")
     assert(rowSet(t) === rowSet(tFull), "incremental triples must equal full recompute")
     assert(t.count() > 0)
   }
