@@ -231,6 +231,19 @@ object SparkEntry {
     questions.crossJoin(types)
   }
 
+  /** Question→cluster edges (reference question_cluster_edges — the full
+    * question × cluster cross product, knowledge_graph.py:1522-1530,
+    * J12): every static question node links to every semantic cluster.
+    * Both sides are bounded vocabularies, so the cross join broadcasts. */
+  private def qQuestionClusterEdges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val questions = Seq((0L, "what"), (1L, "how"), (2L, "when"), (3L, "where"))
+      .toDF("q_id", "q_kind")
+    val clusters = nodeClusters(s, dir)
+      .select(col("cluster").cast("long").as("cluster_id")).distinct()
+    questions.crossJoin(clusters)
+  }
+
   /** Fuzzy entity linking (the profiled hot stage): deterministic noisy
     * surface forms (part names with the last character clipped; every 3rd
     * kept exact) linked back to the canonical part-name dictionary via
@@ -539,6 +552,7 @@ object SparkEntry {
     "kg_fuzzy_link" -> (qFuzzyLink _),
     "kg_degrees" -> (qDegrees _),
     "kg_questions" -> (qQuestions _),
+    "kg_question_cluster_edges" -> (qQuestionClusterEdges _),
     "kg_containment" -> (qContainment _),
     "kg_issue_edges" -> (qIssueEdges _),
     "kg_entity_convs" -> (qEntityConvs _),
@@ -911,6 +925,14 @@ object SparkEntry {
         |  SELECT CAST(0 AS BIGINT) AS q_id, 'what' AS q_kind
         |  UNION ALL SELECT 1, 'how' UNION ALL SELECT 2, 'when' UNION ALL SELECT 3, 'where'
         |), (SELECT DISTINCT node_type FROM nodes)""".stripMargin),
+
+    "kg_question_cluster_edges" ->
+      s"""WITH $baseCtes, ${OpsEntry.clusterCtes}
+        |SELECT q_id, q_kind, cluster_id FROM (
+        |  SELECT CAST(0 AS BIGINT) AS q_id, 'what' AS q_kind
+        |  UNION ALL SELECT 1, 'how' UNION ALL SELECT 2, 'when' UNION ALL SELECT 3, 'where'
+        |), (SELECT DISTINCT CAST(a1.cluster AS BIGINT) AS cluster_id
+        |    FROM a1 JOIN nodes n ON a1.vec_id = n.node_id)""".stripMargin,
 
     "kg_degrees" -> withBase(
       """SELECT n.node_id, n.canonical_name,
