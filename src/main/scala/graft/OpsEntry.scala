@@ -61,6 +61,10 @@ object OpsEntry {
     // near-dup collapse: CC over verified LSH pairs -> dup_group + keep
     "doc_dup_clusters" -> ((s, dir) => Dedup.dupClusters(docs(s, dir))),
 
+    // bounded frame-sampling plan off the decoded media metadata
+    "doc_frame_sample" -> ((s, dir) =>
+      Multimodal.sampleFrames(Multimodal.extract(s, docs(s, dir)))),
+
     // deterministic hash-threshold sampling stratified by predicted lang
     "doc_sample_strata" -> ((s, dir) => {
       val lang = TextOps.langId(docs(s, dir))
@@ -394,6 +398,18 @@ object OpsEntry {
         |       CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS dup_group,
         |       CAST(CASE WHEN coalesce(c.component, d.doc_id) = d.doc_id THEN 1 ELSE 0 END AS BIGINT) AS keep
         |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id""".stripMargin,
+
+    "doc_frame_sample" ->
+      """WITH m AS (
+        |  SELECT doc_id, 1 + n % 24 AS frames
+        |  FROM (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n FROM documents)
+        |),
+        |s AS (SELECT doc_id, frames,
+        |             CAST(ceil(CAST(frames AS DOUBLE) / 4) AS BIGINT) AS stride
+        |      FROM m)
+        |SELECT doc_id, frames, stride,
+        |       CAST(unnest(range(0, frames, stride)) AS BIGINT) AS frame_idx
+        |FROM s""".stripMargin,
 
     "doc_sample_strata" ->
       s"""WITH $langPredCte

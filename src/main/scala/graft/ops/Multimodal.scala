@@ -48,4 +48,17 @@ object Multimodal {
   /** End-to-end: docs -> binary payload -> batched stub decode -> metadata. */
   def extract(spark: SparkSession, docs: DataFrame): DataFrame =
     decodeMeta(spark, asBinary(docs)).toDF()
+
+  /** Frame sampling: at most `maxFrames` frame indices per video via a
+    * deterministic stride (ceil(frames/maxFrames)) — the work-reduction
+    * step a video pipeline runs BEFORE per-frame decode/feature
+    * extraction. Pure column expressions over the metadata: the sampling
+    * plan (one row per kept frame) never touches payload bytes, so the
+    * expensive codec fan-out is bounded up front. */
+  def sampleFrames(meta: DataFrame, maxFrames: Int = 4): DataFrame =
+    meta.select(col("doc_id"), col("frames"),
+      ceil(col("frames").cast("double") / maxFrames).cast("long").as("stride"))
+      .select(col("doc_id"), col("frames"), col("stride"),
+        explode(sequence(lit(0L), col("frames") - 1, col("stride")))
+          .as("frame_idx"))
 }

@@ -214,6 +214,15 @@ class OpsSpec extends SparkSpec {
     assert(r.getAs[Long]("re_tokens") === 6L)
   }
 
+  test("frame sampling: stride bounds kept frames at maxFrames, indices in range") {
+    val meta = Seq((1L, 24L), (2L, 1L), (3L, 5L)).toDF("doc_id", "frames")
+    val s = Multimodal.sampleFrames(meta, maxFrames = 4).collect()
+      .groupBy(_.getLong(0)).map { case (k, rs) => k -> rs.map(_.getAs[Long]("frame_idx")).sorted.toSeq }
+    assert(s(1L) === Seq(0L, 6L, 12L, 18L)) // 24 frames, stride 6
+    assert(s(2L) === Seq(0L))               // single frame
+    assert(s(3L) === Seq(0L, 2L, 4L))       // 5 frames, stride ceil(5/4)=2
+  }
+
   test("multimodal stub decode: deterministic metadata from payload bytes") {
     val docs = Seq((7L, "abcd", "s")).toDF("doc_id", "text", "source")
     val m = Multimodal.extract(spark, docs).collect().head
