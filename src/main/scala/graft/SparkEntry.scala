@@ -533,6 +533,40 @@ object SparkEntry {
         md5(col("config")).as("config_hash"))
   }
 
+  /** Per-type contiguous local index shared by the PyG export pair. */
+  private def pygLocal(s: SparkSession, dir: String): DataFrame =
+    graft.canonical.Canonical.denseIdsBucketedBy(
+      graft.graph.Pipeline.nodes(s, dir), "node_type")
+
+  /** PyG-style HeteroData node export (reference S11,
+    * hierarchical_graph.py:398-427): per-type CONTIGUOUS local indices —
+    * the tensor row index — assigned by the per-group bucketed assigner
+    * (no global or per-type single-task window), plus the global id for
+    * joining back. */
+  private def qPygNodes(s: SparkSession, dir: String): DataFrame =
+    pygLocal(s, dir).select(col("node_type"), col("local_idx"),
+      col("node_id"), col("canonical_name"))
+
+  /** PyG-style typed edge index (reference HeteroData edge_index per
+    * (src_type, relation, dst_type) triple): endpoints remapped to the
+    * per-type local indices via skew-safe joins, deduped with a
+    * multiplicity count (edge_index columns + edge weight). */
+  private def qPygEdges(s: SparkSession, dir: String): DataFrame = {
+    val loc = pygLocal(s, dir)
+    val t = graft.graph.Pipeline.triples(s, dir)
+    val src = loc.select(col("canonical_name").as("subj"),
+      col("node_type").as("src_type"), col("local_idx").as("src_local"))
+    val dst = loc.select(col("canonical_name").as("obj"),
+      col("node_type").as("dst_type"), col("local_idx").as("dst_local"))
+    val saltFrom = Seq("conv_id", "turn_idx", "mention_idx")
+    graft.canonical.Joins.innerSkewSafe(
+        graft.canonical.Joins.innerSkewSafe(t, src, "subj", saltFrom),
+        dst, "obj", saltFrom)
+      .groupBy(col("src_type"), col("pred").as("edge_type"),
+        col("dst_type"), col("src_local"), col("dst_local"))
+      .agg(count(lit(1)).as("n_multi"))
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kg_transcripts" -> (qTranscripts _),
@@ -573,6 +607,8 @@ object SparkEntry {
     "kg_dev_edges" -> (qDevEdges _),
     "kg_artifact_nodes" -> (qArtifactNodes _),
     "kg_config_nodes" -> (qConfigNodes _),
+    "kg_pyg_nodes" -> (qPygNodes _),
+    "kg_pyg_edges" -> (qPygEdges _),
   ) ++ OpsEntry.queries ++ RelEntry.queries
 
   // ---- DuckDB oracle (structural reconstruction; never parses text) ----
@@ -1070,6 +1106,27 @@ object SparkEntry {
         |       lower(replace(n_name,' ','_'))||'@dev.example' AS dev_email,
         |       'Team '||n_name AS dev_full
         |FROM nation""".stripMargin,
+
+    "kg_pyg_nodes" -> withBase(
+      """SELECT node_type,
+        |       CAST(row_number() OVER (PARTITION BY node_type ORDER BY substr(md5(canonical_name),1,2), canonical_name) - 1 AS BIGINT) AS local_idx,
+        |       node_id, canonical_name
+        |FROM nodes""".stripMargin),
+
+    "kg_pyg_edges" -> withBase(
+      """, loc AS (
+        |  SELECT canonical_name, node_type,
+        |         CAST(row_number() OVER (PARTITION BY node_type ORDER BY substr(md5(canonical_name),1,2), canonical_name) - 1 AS BIGINT) AS local_idx
+        |  FROM nodes
+        |)
+        |SELECT s.node_type AS src_type, t.pred AS edge_type,
+        |       d.node_type AS dst_type,
+        |       s.local_idx AS src_local, d.local_idx AS dst_local,
+        |       CAST(count(*) AS BIGINT) AS n_multi
+        |FROM triples t
+        |JOIN loc s ON t.subj = s.canonical_name
+        |JOIN loc d ON t.obj = d.canonical_name
+        |GROUP BY 1, 2, 3, 4, 5""".stripMargin),
 
     "kg_config_nodes" ->
       s"""WITH tr AS (${Transcripts.fromTpchOracleSql}),

@@ -57,6 +57,38 @@ object Canonical {
       .drop("_b", "_off")
   }
 
+  /** Per-group dense IDs: local 0..n_g-1 within each `partCol` group —
+    * the contiguous per-type row index a tensor export (PyG HeteroData)
+    * needs. Same two-phase shape as [[denseIdsBucketed]], keyed by
+    * (group, bucket); NO per-group single-task window (a plain
+    * `Window.partitionBy(group)` would funnel each type's billions of
+    * rows through one task at corpus scale). The collected offset table
+    * is |groups| × 16^hexChars rows, so `partCol` must be a BOUNDED
+    * vocabulary (node types), never a corpus-scaling key. Within-group
+    * order is `ORDER BY substr(md5(key),1,hexChars), key` — any SQL
+    * engine reproduces it with one partitioned row_number. */
+  def denseIdsBucketedBy(names: DataFrame, partCol: String,
+      keyCol: String = "canonical_name", idCol: String = "local_idx",
+      hexChars: Int = 2): DataFrame = {
+    val spark = names.sparkSession
+    val withB = names.withColumn("_b",
+      substring(md5(col(keyCol)), 1, hexChars))
+      .localCheckpoint()
+    val counts = withB.groupBy(partCol, "_b").count().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val offsets = counts.groupBy(_._1).toSeq.flatMap { case (g, rows) =>
+      val sorted = rows.sortBy(_._2)
+      sorted.map(_._2).zip(sorted.scanLeft(0L)(_ + _._3))
+        .map { case (b, off) => (g, b, off) }
+    }
+    val offsetsDf = spark.createDataFrame(offsets).toDF(partCol, "_b", "_off")
+    val w = Window.partitionBy(partCol, "_b").orderBy(keyCol)
+    withB
+      .join(broadcast(offsetsDf), Seq(partCol, "_b"))
+      .withColumn(idCol, (row_number().over(w) - 1 + col("_off")).cast("long"))
+      .drop("_b", "_off")
+  }
+
   /** Node table from canonical names: (node_type, node_id, canonical_name).
     * node_type is the name's namespace prefix (the Neo4j label analog,
     * package/knowledge_graph.py:561-570). */

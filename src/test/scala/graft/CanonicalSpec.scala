@@ -36,6 +36,31 @@ class CanonicalSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("denseIdsBucketedBy: per-group bijection onto 0..n_g-1, parallelism-stable") {
+    val names = (0 until 300).map(i => (s"t${i % 3}", s"name_$i"))
+      .toDF("node_type", "canonical_name")
+    def run(parts: Int) = Canonical
+      .denseIdsBucketedBy(names.repartition(parts), "node_type", hexChars = 1)
+      .collect()
+      .map(r => (r.getAs[String]("node_type"), r.getAs[String]("canonical_name")) ->
+        r.getAs[Long]("local_idx")).toMap
+    val a = run(1)
+    val b = run(8)
+    assert(a === b, "local ids must be a pure function of the key set")
+    // each group independently dense 0..99
+    (0 until 3).foreach { g =>
+      val ids = a.collect { case ((t, _), id) if t == s"t$g" => id }.toSeq.sorted
+      assert(ids === (0L until 100L), s"group t$g not contiguous")
+    }
+    // within-group order matches the oracle re-key (md5-prefix, key)
+    val t0 = a.collect { case ((t, n), id) if t == "t0" => n -> id }.toSeq
+    val expected = t0.map(_._1).sortBy(n =>
+      (java.security.MessageDigest.getInstance("MD5").digest(n.getBytes)
+        .map("%02x".format(_)).mkString.take(1), n))
+      .zipWithIndex.map { case (n, i) => n -> i.toLong }.toMap
+    assert(t0.toMap === expected)
+  }
+
   test("mintedNodes continue densely after known nodes") {
     val known = Canonical.nodes(Seq("t:a", "t:b").toDF("canonical_name"))
     val minted = Canonical.mintedNodes(known, Seq("x:new2", "x:new1").toDF("canonical_name"))
