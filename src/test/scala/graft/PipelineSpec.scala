@@ -55,6 +55,19 @@ class PipelineSpec extends SparkSpec {
     assert(t.count() > 0)
   }
 
+  test("viz export: bounded top-k subgraph as one self-contained HTML file") {
+    withStageRoot {
+      val out = Files.createTempDirectory("graft_viz").resolve("g.html").toString
+      graft.tools.Viz.export(spark, "/root/testdata/sf0.001", out, k = 40)
+      val html = new String(Files.readAllBytes(java.nio.file.Paths.get(out)))
+      assert(html.contains("<canvas"))
+      assert(html.contains("supplier:") || html.contains("customer:") ||
+        html.contains("part:"), "top-degree node names must be embedded")
+      // bounded regardless of corpus size: k nodes + capped edges only
+      assert(html.length < 200000, s"viz must stay O(k), got ${html.length} bytes")
+    }
+  }
+
   test("lineage has per-partition rows; metrics carry stage throughput") {
     withStageRoot {
       val sfDir = "/root/testdata/sf0.001"
