@@ -533,10 +533,15 @@ object SparkEntry {
         md5(col("config")).as("config_hash"))
   }
 
-  /** Per-type contiguous local index shared by the PyG export pair. */
+  /** Per-type contiguous local index shared by the PyG export pair —
+    * committed as a stage table so the eager two-phase assignment
+    * (checkpoint + count-collect + window) runs once, not once per
+    * consuming query. */
   private def pygLocal(s: SparkSession, dir: String): DataFrame =
-    graft.canonical.Canonical.denseIdsBucketedBy(
-      graft.graph.Pipeline.nodes(s, dir), "node_type")
+    graft.graph.StageStore.getOrCreate(s, dir, "pyg_local") {
+      graft.canonical.Canonical.denseIdsBucketedBy(
+        graft.graph.Pipeline.nodes(s, dir), "node_type")
+    }
 
   /** PyG-style HeteroData node export (reference S11,
     * hierarchical_graph.py:398-427): per-type CONTIGUOUS local indices —

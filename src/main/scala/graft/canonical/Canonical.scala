@@ -37,25 +37,15 @@ object Canonical {
     * of needing Spark's hash. Sizing: each bucket sorts on one task, so
     * pick hexChars with bucketRows = |vocab| / 16^hexChars comfortably in
     * task memory (hexChars=3 -> 4096 buckets -> ~250k rows/bucket at 1B
-    * entities). */
+    * entities).
+    *
+    * Implemented as the single-group case of [[denseIdsBucketedBy]] — ONE
+    * copy of the offset/window logic keeps the oracle ordering contract
+    * in one place. */
   def denseIdsBucketed(names: DataFrame, keyCol: String = "canonical_name",
-      idCol: String = "node_id", hexChars: Int = 2): DataFrame = {
-    val spark = names.sparkSession
-    // the bucketed input is consumed twice (count pass + id pass):
-    // materialize it once so the upstream plan doesn't execute twice
-    val withB = names.withColumn("_b",
-      substring(md5(col(keyCol)), 1, hexChars))
-      .localCheckpoint()
-    val counts = withB.groupBy("_b").count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
-    val offsets = counts.map(_._1).zip(counts.scanLeft(0L)(_ + _._2))
-    val offsetsDf = spark.createDataFrame(offsets.toSeq).toDF("_b", "_off")
-    val w = Window.partitionBy("_b").orderBy(keyCol)
-    withB
-      .join(broadcast(offsetsDf), Seq("_b"))
-      .withColumn(idCol, (row_number().over(w) - 1 + col("_off")).cast("long"))
-      .drop("_b", "_off")
-  }
+      idCol: String = "node_id", hexChars: Int = 2): DataFrame =
+    denseIdsBucketedBy(names.withColumn("_g", lit("")), "_g",
+      keyCol, idCol, hexChars).drop("_g")
 
   /** Per-group dense IDs: local 0..n_g-1 within each `partCol` group —
     * the contiguous per-type row index a tensor export (PyG HeteroData)
@@ -70,7 +60,13 @@ object Canonical {
   def denseIdsBucketedBy(names: DataFrame, partCol: String,
       keyCol: String = "canonical_name", idCol: String = "local_idx",
       hexChars: Int = 2): DataFrame = {
+    require(names.schema(partCol).dataType ==
+      org.apache.spark.sql.types.StringType,
+      s"denseIdsBucketedBy: group column '$partCol' must be StringType " +
+        "(a bounded label vocabulary) — cast numeric group keys first")
     val spark = names.sparkSession
+    // the bucketed input is consumed twice (count pass + id pass):
+    // materialize it once so the upstream plan doesn't execute twice
     val withB = names.withColumn("_b",
       substring(md5(col(keyCol)), 1, hexChars))
       .localCheckpoint()

@@ -56,8 +56,13 @@ object Multimodal {
     * plan (one row per kept frame) never touches payload bytes, so the
     * expensive codec fan-out is bounded up front. */
   def sampleFrames(meta: DataFrame, maxFrames: Int = 4): DataFrame =
-    meta.select(col("doc_id"), col("frames"),
-      ceil(col("frames").cast("double") / maxFrames).cast("long").as("stride"))
+    meta
+      // frames <= 0 would make stride 0 and sequence() throw; such rows
+      // have nothing to sample — drop them instead of failing the job
+      .filter(col("frames") > 0)
+      .select(col("doc_id"), col("frames"),
+        greatest(ceil(col("frames").cast("double") / maxFrames).cast("long"),
+          lit(1L)).as("stride"))
       .select(col("doc_id"), col("frames"), col("stride"),
         explode(sequence(lit(0L), col("frames") - 1, col("stride")))
           .as("frame_idx"))

@@ -21,8 +21,15 @@ import org.apache.spark.sql.functions._
   */
 object Viz {
 
-  private def esc(s: String) =
-    s.replace("\\", "\\\\").replace("\"", "\\\"")
+  // full JSON-string escaping incl. control chars, plus '/' so a name
+  // containing "</script>" can never terminate the script element
+  private def esc(s: String): String = s.flatMap {
+    case '\\' => "\\\\"
+    case '"' => "\\\""
+    case '/' => "\\/"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
 
   def html(nodes: Seq[(Long, String, String)],
       edges: Seq[(Long, Long, String)]): String = {
@@ -78,10 +85,16 @@ object Viz {
     val idsDf = spark.createDataFrame(
       spark.sparkContext.parallelize(ids.toSeq.map(Tuple1(_))))
       .toDF("node_id")
+    // distinct + ordered BEFORE the cap: mention-level edge rows repeat
+    // per occurrence, and an unordered limit is partition-order
+    // nondeterministic — both would make the exported edge set differ
+    // between runs on identical data
     val induced = edges
       .join(idsDf.withColumnRenamed("node_id", "src_id"), Seq("src_id"))
       .join(idsDf.withColumnRenamed("node_id", "dst_id"), Seq("dst_id"))
       .select(col("src_id"), col("dst_id"), col("edge_type"))
+      .distinct()
+      .orderBy(col("src_id"), col("dst_id"), col("edge_type"))
       .limit(k * 20)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
     Files.write(Paths.get(outFile),
