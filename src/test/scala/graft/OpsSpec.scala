@@ -65,6 +65,26 @@ class OpsSpec extends SparkSpec {
       (3L, 3L, 1L), (5L, 5L, 1L)))
   }
 
+  test("dupClusters invariants on a generated corpus: partition, min-rooted groups, one keep each") {
+    val docs = (1L to 120L).map { i =>
+      val text = if (i % 7 == 0) "seven dup text block repeated across the corpus forever"
+        else s"unique text number $i with words ${i * 31 % 97} ${i * 17 % 89} filler tail"
+      (i, text)
+    }.toDF("doc_id", "text")
+    val c = Dedup.dupClusters(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // partition: every doc exactly once
+    assert(c.map(_._1).sorted.toSeq === (1L to 120L))
+    val groups = c.groupBy(_._2)
+    groups.foreach { case (g, members) =>
+      assert(members.map(_._1).min === g, s"group $g must be rooted at its min member")
+      val keeps = members.filter(_._3 == 1L).map(_._1)
+      assert(keeps.toSeq === Seq(g), s"group $g must keep exactly its root")
+    }
+    // the i%7 clique (17 identical docs) collapses to one group rooted at 7
+    assert(groups(7L).map(_._1).toSet === (1L to 120L).filter(_ % 7 == 0).toSet)
+  }
+
   test("stratified sampling: deterministic hash threshold, per-stratum rates") {
     val rows = (1L to 200L).map(i => (i, if (i % 2 == 0) "en" else "de"))
       .toDF("doc_id", "pred_lang")
