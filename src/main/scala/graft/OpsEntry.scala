@@ -52,10 +52,23 @@ object OpsEntry {
 
     "emb_cluster_ensemble" -> ((s, dir) => Clustering.ensemble(emb(s, dir))),
 
+    // k-selection sweep: Lloyd + integer SSE per k, deterministic elbow
+    "emb_k_sweep" -> ((s, dir) => {
+      import s.implicits._
+      Clustering.kSweep(emb(s, dir)).toDF("k", "sse", "chosen")
+    }),
+
+    // greedy contingency-table alignment of the two ensemble label spaces
+    "emb_cluster_align" -> ((s, dir) => {
+      import s.implicits._
+      Clustering.alignEnsemble(Clustering.ensemble(emb(s, dir)))
+        .toDF("cluster_b", "aligned_a", "n_overlap")
+    }),
+
     "emb_ivf_topk" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.ivfTopK(e, Similarity.ivfAssign(e, nCells = 16),
-        nQueries = 20, k = 10, nCells = 16, nProbes = 2)
+        nQueries = 20, k = 10, nProbes = 2)
     }),
 
     // near-dup collapse: CC over verified LSH pairs -> dup_group + keep
@@ -117,6 +130,16 @@ object OpsEntry {
   /** Default single-clustering chain (final assignment CTE: `a1`) —
     * shared by emb_clusters and the kg_cluster_* oracles in SparkEntry. */
   private[graft] val clusterCtes: String = s"$quantCte,\n${lloydCtes("", 0)}"
+
+  /** Integer SSE of a `<pfx>a1` assignment (mirrors Clustering.sse:
+    * centroids = round(avg) of the assignment's own members, then the
+    * summed squared distance); `<pfx>sv` holds the single sse value. */
+  private def sseCtes(pfx: String): String =
+    s"""${pfx}sm AS (SELECT ${pfx}a1.cluster, q.dim, CAST(round(avg(q.xq)) AS BIGINT) AS cq
+      |      FROM q JOIN ${pfx}a1 USING(vec_id) GROUP BY ${pfx}a1.cluster, q.dim),
+      |${pfx}sv AS (SELECT CAST(sum((q.xq - ${pfx}sm.cq)*(q.xq - ${pfx}sm.cq)) AS BIGINT) AS sse
+      |      FROM q JOIN ${pfx}a1 USING(vec_id)
+      |      JOIN ${pfx}sm ON ${pfx}sm.cluster = ${pfx}a1.cluster AND ${pfx}sm.dim = q.dim)""".stripMargin
 
   /** Word 3-gram shingle CTE (mirrors Dedup.shingles for docs with >= 3
     * words — the corpus guarantees >= 10). */
@@ -307,6 +330,56 @@ object OpsEntry {
         |       CAST(a.cluster * 8 + b.cluster AS BIGINT) AS consensus_key
         |FROM ea_a1 a JOIN eb_a1 b ON a.vec_id = b.vec_id""".stripMargin,
 
+    // k-selection sweep: one Lloyd chain + SSE per candidate k; chosen =
+    // smallest k whose relative SSE gain to the next k is under 10%
+    // (integer-exact, last k always qualifies)
+    "emb_k_sweep" ->
+      s"""WITH $quantCte,
+        |${lloydCtes("k2_", 0, 2)},
+        |${sseCtes("k2_")},
+        |${lloydCtes("k4_", 0, 4)},
+        |${sseCtes("k4_")},
+        |${lloydCtes("k8_", 0, 8)},
+        |${sseCtes("k8_")},
+        |${lloydCtes("k16_", 0, 16)},
+        |${sseCtes("k16_")},
+        |sw AS (SELECT CAST(2 AS BIGINT) AS k, (SELECT sse FROM k2_sv) AS sse
+        |       UNION ALL SELECT 4, (SELECT sse FROM k4_sv)
+        |       UNION ALL SELECT 8, (SELECT sse FROM k8_sv)
+        |       UNION ALL SELECT 16, (SELECT sse FROM k16_sv)),
+        |g AS (SELECT k, sse, lead(sse) OVER (ORDER BY k) AS nsse FROM sw),
+        |ch AS (SELECT min(k) AS ck FROM g
+        |       WHERE nsse IS NULL OR (sse - nsse) * 10 < sse)
+        |SELECT k, CAST(sse AS BIGINT) AS sse,
+        |       CAST(CASE WHEN k = (SELECT ck FROM ch) THEN 1 ELSE 0 END AS BIGINT) AS chosen
+        |FROM g""".stripMargin,
+
+    // greedy argmax alignment of the two ensemble label spaces over the
+    // (cluster_a, cluster_b) contingency table: repeatedly take the
+    // largest remaining cell (ties: a asc, b asc) with unused row+column
+    "emb_cluster_align" ->
+      s"""WITH RECURSIVE $quantCte,
+        |${lloydCtes("ea_", 0)},
+        |${lloydCtes("eb_", 8)},
+        |ct AS (SELECT a.cluster AS ca, b.cluster AS cb, count(*) AS n
+        |       FROM ea_a1 a JOIN eb_a1 b ON a.vec_id = b.vec_id
+        |       GROUP BY a.cluster, b.cluster),
+        |pick(step, ca, cb, n, used_a, used_b) AS (
+        |  SELECT 1, ca, cb, n, [ca], [cb]
+        |  FROM (SELECT * FROM ct ORDER BY n DESC, ca, cb LIMIT 1)
+        |  UNION ALL
+        |  SELECT p.step + 1, c.ca, c.cb, c.n,
+        |         list_append(p.used_a, c.ca), list_append(p.used_b, c.cb)
+        |  FROM pick p JOIN LATERAL (
+        |    SELECT ca, cb, n FROM ct
+        |    WHERE NOT list_contains(p.used_a, ct.ca)
+        |      AND NOT list_contains(p.used_b, ct.cb)
+        |    ORDER BY n DESC, ca, cb LIMIT 1) c ON true
+        |)
+        |SELECT CAST(cb AS BIGINT) AS cluster_b, CAST(ca AS BIGINT) AS aligned_a,
+        |       CAST(n AS BIGINT) AS n_overlap
+        |FROM pick""".stripMargin,
+
     // IVF multi-probe ANN (nCells=16, nProbes=2, queries = vec_id < 20):
     // assignment + probe ranking use ppm-quantized cosine so a last-ulp
     // float difference can never flip a cell across engines
@@ -434,12 +507,23 @@ object OpsEntry {
       s"""WITH $lshBucketCtes
         |SELECT vec_id, bucket FROM bk""".stripMargin,
 
-    // embedding-cosine near-dup pairs: LSH-bucket blocking + exact cosine
-    // verification (the 5th dedup family)
+    // embedding-cosine near-dup pairs: LSH-bucket blocking (with the
+    // oversized-bucket star-collapse mirrored: full pairs at n <= 1000,
+    // min-id-rep star above) + exact cosine verification (the 5th dedup
+    // family)
     "emb_cosine_dups" ->
       s"""WITH $lshBucketCtes,
+        |bsz AS (SELECT bucket, count(*) AS n, min(vec_id) AS rep
+        |        FROM bk GROUP BY bucket),
+        |bkz AS (SELECT bk.vec_id, bk.bucket, bsz.n, bsz.rep
+        |        FROM bk JOIN bsz USING(bucket)),
         |cand AS (SELECT x.vec_id AS a, y.vec_id AS b
-        |         FROM bk x JOIN bk y ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
+        |         FROM bkz x JOIN bkz y
+        |           ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+        |         WHERE x.n <= 1000
+        |         UNION ALL
+        |         SELECT rep AS a, vec_id AS b FROM bkz
+        |         WHERE n > 1000 AND vec_id <> rep),
         |vv AS (SELECT vec_id, generate_subscripts(embedding, 1) AS d,
         |              CAST(unnest(embedding) AS DOUBLE) AS x
         |       FROM embeddings),

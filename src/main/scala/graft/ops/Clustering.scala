@@ -44,29 +44,11 @@ object Clustering {
     * reassign. Output: (vec_id, cluster), cluster in [0, k).
     * Distinct `seedFrom` values give independent ensemble members
     * (reference runs clustering more than once and joins the results,
-    * semantic_clustering.py / SURVEY J9 — see [[ensemble]]). */
-  def lloydStep(emb: DataFrame, k: Int = 8, seedFrom: Int = 0): DataFrame = {
-    val q = quantized(emb)
-    val c0 = q.filter(col("vec_id") >= seedFrom && col("vec_id") < seedFrom + k)
-      .select((col("vec_id") - seedFrom).as("cid"), col("xq").as("cq"))
-    // Seeding assumes dense vec_ids covering the seed window; sparse ids
-    // would silently yield < k centroids (an EMPTY c0 makes assign return
-    // an empty frame with no error) — fail loudly instead. The count is a
-    // pushed-down vec_id range parquet scan, not a full pass.
-    val nSeeds = c0.count()
-    require(nSeeds == k,
-      s"lloydStep: expected $k seed centroids (vec_id in [$seedFrom," +
-        s"${seedFrom + k})), found $nSeeds — vec_ids must be dense")
-    val a0 = assign(q, c0)
-    val means = q.join(a0, Seq("vec_id"))
-      .select(col("cluster"), posexplode(col("xq")).as(Seq("dim", "v")))
-      .groupBy(col("cluster"), col("dim"))
-      .agg(round(avg(col("v"))).cast("long").as("cv"))
-    val c1 = means.groupBy(col("cluster").as("cid"))
-      .agg(transform(array_sort(collect_list(struct(col("dim"), col("cv")))),
-        s => s.getField("cv")).as("cq"))
-    assign(q, c1)
-  }
+    * semantic_clustering.py / SURVEY J9 — see [[ensemble]]).
+    * Delegates to [[lloyd]] with iters = 1 (identical dataflow, so the
+    * seed guard runs on the checkpointed frame, not a fresh derivation). */
+  def lloydStep(emb: DataFrame, k: Int = 8, seedFrom: Int = 0): DataFrame =
+    lloyd(emb, k, iters = 1, seedFrom = seedFrom)
 
   /** Full Lloyd loop: `iters` rounds of (means, assign) after the seeded
     * first assignment (iters=1 == [[lloydStep]]). Each round's assignment
@@ -74,27 +56,41 @@ object Clustering {
     * shape localCheckpoint is right for — so round N+1's plan never
     * re-derives round N (the fixpoint-iteration pattern of
     * ConnectedComponents; a growing lineage would re-execute every prior
-    * round per action and stop scaling). Cost per round: one quantized
-    * pass + two vec_id shuffles + a (k x dims) aggregate — independent of
-    * iteration count, linear in corpus size. */
-  def lloyd(emb: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
+    * round per action and stop scaling). Cost per round: two vec_id
+    * shuffles + a (k x dims) aggregate over the ONE checkpointed
+    * quantized pass — independent of iteration count, linear in corpus
+    * size.
+    *
+    * Seed guard: sparse vec_ids in the seed window would silently yield
+    * < k centroids (an EMPTY c0 makes assign return an empty frame with
+    * no error) — fail loudly instead. The count scans the already
+    * localCheckpointed q (a cached-partition pass, no upstream
+    * re-execution however the caller derived `emb`). */
+  def lloyd(emb: DataFrame, k: Int = 8, iters: Int = 2,
+      seedFrom: Int = 0): DataFrame = {
     require(iters >= 1, s"lloyd: iters must be >= 1, got $iters")
     val q = quantized(emb).localCheckpoint()
-    val c0 = q.filter(col("vec_id") < k)
-      .select(col("vec_id").as("cid"), col("xq").as("cq"))
+    val c0 = q.filter(col("vec_id") >= seedFrom && col("vec_id") < seedFrom + k)
+      .select((col("vec_id") - seedFrom).as("cid"), col("xq").as("cq"))
     val nSeeds = c0.count()
     require(nSeeds == k,
-      s"lloyd: expected $k seed centroids (vec_id in [0,$k)), found $nSeeds")
-    var a = assign(q, c0).localCheckpoint()
+      s"lloyd: expected $k seed centroids (vec_id in [$seedFrom," +
+        s"${seedFrom + k})), found $nSeeds — vec_ids must be dense")
+    var a = assign(q, c0)
     for (_ <- 1 to iters) {
-      val means = q.join(a, Seq("vec_id"))
+      // checkpoint only assignments that feed a NEXT round (truncates the
+      // fixpoint lineage); the final assignment stays lazy so a consumer
+      // writing it to a stage table pays one pass, not two, and its plan
+      // still shows the broadcast-assign shape
+      val prev = a.localCheckpoint()
+      val means = q.join(prev, Seq("vec_id"))
         .select(col("cluster"), posexplode(col("xq")).as(Seq("dim", "v")))
         .groupBy(col("cluster"), col("dim"))
         .agg(round(avg(col("v"))).cast("long").as("cv"))
       val c = means.groupBy(col("cluster").as("cid"))
         .agg(transform(array_sort(collect_list(struct(col("dim"), col("cv")))),
           s => s.getField("cv")).as("cq"))
-      a = assign(q, c).localCheckpoint()
+      a = assign(q, c)
     }
     a
   }
@@ -114,6 +110,51 @@ object Clustering {
     withA.join(cents, Seq("cluster"))
       .select(dist2(col("xq"), col("cq")).as("d2"))
       .agg(sum(col("d2"))).collect()(0).getLong(0)
+  }
+
+  /** k-selection sweep (the reference sweeps k and picks the best score,
+    * semantic_clustering.py:42-65 — silhouette there, a deterministic
+    * integer-SSE elbow here so the DuckDB oracle reproduces the choice
+    * bit-for-bit): one Lloyd iteration + SSE per candidate k, then
+    * `chosen = 1` for the SMALLEST k whose relative SSE gain to the next
+    * k falls under 10% — integer-exact as (sse_k - sse_next) * 10 <
+    * sse_k; the largest k has no successor and always qualifies, so a
+    * chosen k always exists. Returns LOCAL rows (k, sse, chosen): the
+    * sweep output is |ks| rows by construction (each backed by a full
+    * distributed Lloyd + SSE pass). */
+  def kSweep(emb: DataFrame, ks: Seq[Int] = Seq(2, 4, 8, 16)): Seq[(Long, Long, Long)] = {
+    require(ks.nonEmpty && ks == ks.sorted && ks.distinct == ks,
+      s"kSweep: ks must be non-empty, ascending, distinct — got $ks")
+    val sses = ks.map(k => (k.toLong, sse(emb, lloydStep(emb, k))))
+    val chosenK = sses.indices.collectFirst {
+      case i if i == sses.length - 1 ||
+        (sses(i)._2 - sses(i + 1)._2) * 10 < sses(i)._2 => sses(i)._1
+    }.get
+    sses.map { case (k, v) => (k, v, if (k == chosenK) 1L else 0L) }
+  }
+
+  /** Greedy ensemble label alignment (the reference aligns the two label
+    * spaces via pd.crosstab + driver-side assignment,
+    * semantic_clustering.py:184-188): the contingency table of
+    * (cluster_a, cluster_b) co-assignment counts is a k x k aggregate —
+    * tiny by construction, so collecting it is bounded — then greedy
+    * argmax matching: repeatedly take the largest remaining cell (ties:
+    * cluster_a asc, cluster_b asc) whose row and column are both unused.
+    * Equivalent single-pass form: scan cells sorted by (n desc, a, b)
+    * and accept each whose row/col is still free. One row per matched
+    * pair: (cluster_b, aligned_a, n_overlap), sorted by cluster_b. */
+  def alignEnsemble(ens: DataFrame): Seq[(Long, Long, Long)] = {
+    val cells = ens.groupBy(col("cluster_a"), col("cluster_b"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy { case (a, b, n) => (-n, a, b) }
+    val usedA = scala.collection.mutable.Set.empty[Long]
+    val usedB = scala.collection.mutable.Set.empty[Long]
+    val out = Seq.newBuilder[(Long, Long, Long)]
+    for ((a, b, n) <- cells) if (!usedA(a) && !usedB(b)) {
+      usedA += a; usedB += b; out += ((b, a, n))
+    }
+    out.result().sortBy(_._1)
   }
 
   /** Ensemble of two independently-seeded clusterings joined per vector

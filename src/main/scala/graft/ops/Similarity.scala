@@ -71,49 +71,65 @@ object Similarity {
   private def cosPpm(a: Column, b: Column): Column =
     round(dot(a, b) / (norm(a) * norm(b)) * 1e6).cast("long")
 
-  /** Rank every vector of `vectors` against the corpus codebook (the
-    * deterministic prefix `vec_id < nCells` of `corpus` — a k-means
-    * refinement slots in without changing the dataflow): one row per
-    * (vec_id, cell) with the similarity rank (1 = nearest). Centroids are
-    * nCells rows -> broadcast; `vectors` streams once. */
-  private def cellRanks(vectors: DataFrame, corpus: DataFrame,
-      nCells: Int): DataFrame = {
-    val centroids = broadcast(corpus.filter(col("vec_id") < nCells)
-      .select(col("vec_id").as("cell"), col("embedding").as("ce")))
+  /** Rank every vector of `vectors` against a codebook frame
+    * (cell, ce): one row per (vec_id, cell) with the similarity rank
+    * (1 = nearest). Centroids are a handful of rows -> broadcast;
+    * `vectors` streams once. */
+  private def cellRanks(vectors: DataFrame, centroids: DataFrame): DataFrame = {
     val w = Window.partitionBy("vec_id")
       .orderBy(col("sim_ppm").desc, col("cell"))
-    vectors.crossJoin(centroids)
+    vectors.crossJoin(broadcast(centroids))
       .withColumn("sim_ppm", cosPpm(col("embedding"), col("ce")))
       .withColumn("rk", row_number().over(w))
       .select(col("vec_id"), col("cell"), col("rk"))
   }
 
+  /** Codebook = the deterministic prefix `vec_id < nCells` of the corpus
+    * (a k-means refinement slots in without changing the dataflow); the
+    * cell id IS the centroid's vec_id. */
+  private def prefixCodebook(corpus: DataFrame, nCells: Int): DataFrame =
+    corpus.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell"), col("embedding").as("ce"))
+
   /** IVF coarse quantization (the other scale path besides LSH): assign
     * every vector to its nearest of `nCells` centroids; a query then scans
     * only its probed cells (nProbes/nCells of the corpus). */
   def ivfAssign(emb: DataFrame, nCells: Int = 16): DataFrame =
-    cellRanks(emb, emb, nCells).filter(col("rk") === 1)
+    cellRanks(emb, prefixCodebook(emb, nCells)).filter(col("rk") === 1)
       .select(col("vec_id"), col("cell"))
 
   /** IVF top-k with multi-probe: each query scans its `nProbes` nearest
     * cells (nProbes=1 is classic single-probe; recall rises with nProbes
-    * and reaches brute-force exactness at nProbes=nCells). The probe list
-    * and the corpus partition are both cell-keyed, so candidate generation
-    * is an equi-join on `cell` — never a cross join — and the scan cost
-    * per query is nProbes/nCells of the corpus. */
+    * and reaches brute-force exactness at nProbes = number of cells). The
+    * probe list and the corpus partition are both cell-keyed, so candidate
+    * generation is an equi-join on `cell` — never a cross join — and the
+    * scan cost per query is nProbes/nCells of the corpus.
+    *
+    * The codebook is DERIVED from `assignments` (distinct cell ids joined
+    * back to their centroid vectors), never passed as a separate count: a
+    * caller can therefore not rank probe cells against a different
+    * codebook than the one that partitioned the corpus (which would
+    * silently degrade recall). At production scale the codebook is the
+    * committed side table the assignments were built from; here the
+    * broadcast-join derivation costs one map-side pass, no shuffle. */
   def ivfTopK(emb: DataFrame, assignments: DataFrame, nQueries: Int = 20,
-      k: Int = 10, nCells: Int = 16, nProbes: Int = 1): DataFrame = {
+      k: Int = 10, nProbes: Int = 1): DataFrame = {
     val queries = emb.filter(col("vec_id") < nQueries)
     // probe list: the query's nProbes nearest cells. Single-probe reads
     // the query's own assignment row (its cell IS rk=1 — no codebook
     // recompute, and always consistent with `assignments`); multi-probe
-    // re-ranks the queries against the nCells codebook.
+    // re-ranks the queries against the assignment-derived codebook.
     val probes =
       if (nProbes <= 1)
         queries.select(col("vec_id").as("query_id"))
           .join(assignments.withColumnRenamed("vec_id", "query_id"), "query_id")
-      else cellRanks(queries, emb, nCells).filter(col("rk") <= nProbes)
-        .select(col("vec_id").as("query_id"), col("cell"))
+      else {
+        val cells = assignments.select(col("cell")).distinct()
+        val codebook = emb.join(broadcast(cells), col("vec_id") === col("cell"))
+          .select(col("cell"), col("embedding").as("ce"))
+        cellRanks(queries, codebook).filter(col("rk") <= nProbes)
+          .select(col("vec_id").as("query_id"), col("cell"))
+      }
     val q = broadcast(queries
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
       .join(probes, "query_id"))
@@ -134,14 +150,37 @@ object Similarity {
     * candidate generation is a bucket equi-self-join (a < b), never
     * all-pairs — then exact cosine verification at `minCosPpm`. The same
     * candidate-then-verify shape as Dedup.candidatePairs/verifyJaccard,
-    * over vectors instead of shingle sets. */
+    * over vectors instead of shingle sets.
+    *
+    * Degenerate-bucket cap (same rule as Dedup.candidatePairs): a bucket
+    * holding B vectors would emit B^2/2 candidate rows — quadratic OUTPUT
+    * that AQE cannot shrink, and with 2^nPlanes buckets a uniform corpus
+    * of N vectors emits ~N^2/2^nPlanes pairs. Buckets above `maxBucket`
+    * are star-collapsed: every member pairs with the bucket's min-id
+    * representative only (B-1 rows, linear). An oversized sign-projection
+    * bucket is a near-duplicate cone, so connecting members through the
+    * representative preserves dedup semantics for the downstream collapse
+    * (the grouping closes the clique); only sub-threshold false-positive
+    * members lose their direct pair, which the exact cosine verification
+    * would have discarded anyway. At corpus scale also grow nPlanes
+    * (expected occupancy N/2^nPlanes) so the cap is the backstop, not the
+    * common path. Each vector has exactly ONE bucket (no bands), so the
+    * pair set needs no distinct() — one shuffle fewer than the banded
+    * MinHash path. */
   def cosineDupPairs(emb: DataFrame, minCosPpm: Long = 300000L,
-      nPlanes: Int = 8, dim: Int = 64): DataFrame = {
+      nPlanes: Int = 8, dim: Int = 64, maxBucket: Int = 1000): DataFrame = {
     val b = lshBuckets(emb, nPlanes, dim)
-    val cand = b.select(col("bucket"), col("vec_id").as("a"))
-      .join(b.select(col("bucket"), col("vec_id").as("b")), Seq("bucket"))
+    val sized = b.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("_n"), min(col("vec_id")).as("_rep"))
+    val withSz = b.join(sized, Seq("bucket"))
+    val small = withSz.filter(col("_n") <= maxBucket)
+    val full = small.select(col("bucket"), col("vec_id").as("a"))
+      .join(small.select(col("bucket"), col("vec_id").as("b")), Seq("bucket"))
       .filter(col("a") < col("b"))
       .select("a", "b")
+    val star = withSz.filter(col("_n") > maxBucket && col("vec_id") =!= col("_rep"))
+      .select(col("_rep").as("a"), col("vec_id").as("b"))
+    val cand = full.unionByName(star)
     cand
       .join(emb.select(col("vec_id").as("a"), col("embedding").as("ea")), "a")
       .join(emb.select(col("vec_id").as("b"), col("embedding").as("eb")), "b")

@@ -180,14 +180,14 @@ class OpsSpec extends SparkSpec {
     val assign = Similarity.ivfAssign(vecs, nCells = 4)
     def recall(nProbes: Int): Double = {
       val got = rowSet(Similarity
-        .ivfTopK(vecs, assign, nQueries = 6, k = 3, nCells = 4, nProbes = nProbes)
+        .ivfTopK(vecs, assign, nQueries = 6, k = 3, nProbes = nProbes)
         .select("query_id", "neighbor_id"))
       (got & truthSet).size.toDouble / truthSet.size
     }
     assert(recall(2) >= recall(1), "probing more cells must not lose neighbors")
     // probing every cell scans the whole corpus -> exact brute-force answer
     assertSameRows(
-      Similarity.ivfTopK(vecs, assign, nQueries = 6, k = 3, nCells = 4, nProbes = 4),
+      Similarity.ivfTopK(vecs, assign, nQueries = 6, k = 3, nProbes = 4),
       truth)
   }
 
@@ -203,6 +203,37 @@ class OpsSpec extends SparkSpec {
     assert(s3 <= s1, s"Lloyd iterations must not increase SSE: $s1 -> $s3")
   }
 
+  test("k-sweep: elbow rule picks exactly one k, reproducibly") {
+    import graft.ops.Clustering
+    val vecs = (0L until 32L).map { i =>
+      (i, (0 until 8).map(j => (((i % 4) * 29 + j * 13 + i) % 9 - 4).toFloat).toArray)
+    }.toDF("vec_id", "embedding")
+    val sw = Clustering.kSweep(vecs, Seq(2, 4, 8))
+    assert(sw.map(_._1) === Seq(2L, 4L, 8L))
+    assert(sw.count(_._3 == 1L) === 1, "exactly one chosen k")
+    // the chosen k must satisfy the published integer elbow rule
+    val byK = sw.map(t => t._1 -> t._2).toMap
+    val expected = Seq(2L, 4L, 8L).find { k =>
+      val next = Seq(2L, 4L, 8L).find(_ > k)
+      next.forall(n => (byK(k) - byK(n)) * 10 < byK(k))
+    }.get
+    assert(sw.find(_._3 == 1L).get._1 === expected)
+    // determinism: a second sweep returns identical rows
+    assert(Clustering.kSweep(vecs, Seq(2, 4, 8)) === sw)
+  }
+
+  test("ensemble alignment: greedy argmax matching on a hand-checked contingency") {
+    import graft.ops.Clustering
+    // cells (a,b,n): greedy picks (2,0,60) then (0,1,50) — (1,1,40) and
+    // (1,0,35) lose to used rows/cols — then (3,3,7)
+    val cells = Seq((0L, 1L, 50), (0L, 2L, 10), (1L, 1L, 40), (1L, 0L, 35),
+      (2L, 0L, 60), (2L, 2L, 5), (3L, 3L, 7))
+    val ens = cells.flatMap { case (a, b, n) => Seq.fill(n)((a, b)) }
+      .toDF("cluster_a", "cluster_b")
+    assert(Clustering.alignEnsemble(ens) ===
+      Seq((0L, 2L, 60L), (1L, 0L, 50L), (3L, 3L, 7L)))
+  }
+
   test("embedding-cosine near-dup: near-identical vectors pair, orthogonal ones never") {
     val base = (0 until 64).map(i => math.sin(i * 1.7).toFloat).toArray
     val near = base.clone(); near(0) = near(0) + 0.01f
@@ -212,6 +243,24 @@ class OpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("cos_ppm")))
     assert(pairs.map(p => (p._1, p._2)).toSet === Set((0L, 1L)))
     assert(pairs.head._3 > 990000L)
+  }
+
+  test("cosine near-dup degenerate bucket is star-collapsed: candidate output stays linear") {
+    // 60 near-identical vectors -> all share one sign-projection bucket;
+    // uncapped pairing would emit 60*59/2 = 1770 rows (quadratic OUTPUT)
+    val base = (0 until 64).map(i => math.sin(i * 1.7).toFloat).toArray
+    val vecs = (0L until 60L).map { i =>
+      val v = base.clone(); v(0) = v(0) + (i % 5) * 1e-4f; (i, v)
+    }.toDF("vec_id", "embedding")
+    val capped = Similarity.cosineDupPairs(vecs, minCosPpm = 0L, maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(capped.length === 59, s"expected 59 star pairs, got ${capped.length}")
+    assert(capped.forall(_._1 == 0L), "representative must be the bucket min id")
+    assert(capped.map(_._2).toSet === (1L until 60L).toSet,
+      "every member must stay reachable from the representative")
+    // under the cap the full (verified) pair set is unchanged
+    val uncapped = Similarity.cosineDupPairs(vecs, minCosPpm = 0L).collect()
+    assert(uncapped.length === 1770)
   }
 
   test("lang id predicts the dictionary language") {
