@@ -67,9 +67,15 @@ object Clustering {
     * localCheckpointed q (a cached-partition pass, no upstream
     * re-execution however the caller derived `emb`). */
   def lloyd(emb: DataFrame, k: Int = 8, iters: Int = 2,
-      seedFrom: Int = 0): DataFrame = {
+      seedFrom: Int = 0): DataFrame =
+    lloydOnQ(quantized(emb).localCheckpoint(), k, iters, seedFrom)
+
+  /** Lloyd over an ALREADY-quantized-and-checkpointed frame — the shared
+    * core that lets [[kSweep]] pay the quantization pass once for the
+    * whole sweep instead of once per k. */
+  private def lloydOnQ(q: DataFrame, k: Int, iters: Int,
+      seedFrom: Int): DataFrame = {
     require(iters >= 1, s"lloyd: iters must be >= 1, got $iters")
-    val q = quantized(emb).localCheckpoint()
     val c0 = q.filter(col("vec_id") >= seedFrom && col("vec_id") < seedFrom + k)
       .select((col("vec_id") - seedFrom).as("cid"), col("xq").as("cq"))
     val nSeeds = c0.count()
@@ -97,8 +103,10 @@ object Clustering {
 
   /** Total integer SSE of an assignment against its own centroids —
     * the convergence metric (Lloyd never increases it). */
-  def sse(emb: DataFrame, assignment: DataFrame): Long = {
-    val q = quantized(emb)
+  def sse(emb: DataFrame, assignment: DataFrame): Long =
+    sseOnQ(quantized(emb), assignment)
+
+  private def sseOnQ(q: DataFrame, assignment: DataFrame): Long = {
     val withA = q.join(assignment, Seq("vec_id"))
     val cents = withA
       .select(col("cluster"), posexplode(col("xq")).as(Seq("dim", "v")))
@@ -125,7 +133,10 @@ object Clustering {
   def kSweep(emb: DataFrame, ks: Seq[Int] = Seq(2, 4, 8, 16)): Seq[(Long, Long, Long)] = {
     require(ks.nonEmpty && ks == ks.sorted && ks.distinct == ks,
       s"kSweep: ks must be non-empty, ascending, distinct — got $ks")
-    val sses = ks.map(k => (k.toLong, sse(emb, lloydStep(emb, k))))
+    // ONE quantization pass + checkpoint shared by every k's Lloyd chain
+    // and SSE scoring (values identical to per-k derivation)
+    val q = quantized(emb).localCheckpoint()
+    val sses = ks.map(k => (k.toLong, sseOnQ(q, lloydOnQ(q, k, iters = 1, seedFrom = 0))))
     val chosenK = sses.indices.collectFirst {
       case i if i == sses.length - 1 ||
         (sses(i)._2 - sses(i + 1)._2) * 10 < sses(i)._2 => sses(i)._1

@@ -191,6 +191,29 @@ object Similarity {
       .select(col("a"), col("b"), col("cos_ppm"))
   }
 
+  /** Plane count for a corpus of n vectors at a target expected bucket
+    * occupancy (uniform-case n / 2^nPlanes): the sf1 pressure run showed
+    * the fixed-8-plane blocking growing quadratically in occupancy
+    * (candidates ~ 256 * (n/256)^2 / 2) well before the star-collapse cap
+    * engages — the plane count, not the cap, is the primary scale lever;
+    * the cap stays as the skew backstop (real corpora are not uniform). */
+  def planesFor(n: Long, targetOccupancy: Int = 32, minPlanes: Int = 8): Int = {
+    require(n >= 0 && targetOccupancy > 0)
+    val needed = math.ceil(
+      math.log(math.max(n, 1).toDouble / targetOccupancy) / math.log(2.0)).toInt
+    math.max(minPlanes, needed)
+  }
+
+  /** [[cosineDupPairs]] with the plane count derived from the corpus size
+    * (one count action — the blocking design step): expected bucket
+    * occupancy stays ~targetOccupancy at ANY corpus size, so candidate
+    * generation stays linear without leaning on the star-collapse cap. */
+  def cosineDupPairsAuto(emb: DataFrame, minCosPpm: Long = 300000L,
+      dim: Int = 64, targetOccupancy: Int = 32, maxBucket: Int = 1000): DataFrame =
+    cosineDupPairs(emb, minCosPpm,
+      nPlanes = planesFor(emb.count(), targetOccupancy), dim = dim,
+      maxBucket = maxBucket)
+
   /** Sign-random-projection LSH bucket per vector: nPlanes sign bits.
     * Vectors in the same bucket are ANN candidates (query cost becomes an
     * equi-join by bucket instead of a scan).

@@ -1,0 +1,61 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Pressure-test corpus builder: replicate a TPC-H-derived test corpus
+  * `copies`x by shifting CONVERSATION keys while keeping the dimension
+  * tables (customer/supplier/part) fixed.
+  *
+  * This is the deliberate scale-up direction for the KG pipeline: the
+  * conversation count (and with it mentions/triples) grows `copies`x but
+  * the entity vocabulary does not, so per-entity fan-in — the skew the
+  * salted joins and size gates exist for — grows `copies`x too. A corpus
+  * where the vocabulary also grew would dilute the hot keys and test
+  * nothing new.
+  *
+  * documents/embeddings replicate with density-preserving id shifts
+  * (shift = exact table count, so vec_id stays dense from 0 — the seed
+  * contract of Clustering.lloyd).
+  *
+  * Usage: runMain graft.tools.ScaleUp <srcDir> <dstDir> <copies>
+  */
+object ScaleUp {
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val dst = args(1)
+    val copies = args(2).toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
+    def write(df: DataFrame, t: String): Unit =
+      df.write.mode("overwrite").parquet(s"$dst/$t.parquet")
+
+    /** Union of `copies` key-shifted replicas. */
+    def replicate(df: DataFrame, keyCols: Seq[String], shift: Long): DataFrame =
+      (0 until copies).map { i =>
+        keyCols.foldLeft(df)((d, k) =>
+          d.withColumn(k, (col(k) + lit(i * shift)).cast(df.schema(k).dataType)))
+      }.reduce(_ unionByName _)
+
+    val orderShift = 10000000L // > max o_orderkey at any tested sf
+    write(replicate(read("orders"), Seq("o_orderkey"), orderShift), "orders")
+    write(replicate(read("lineitem"), Seq("l_orderkey"), orderShift), "lineitem")
+    for (t <- Seq("customer", "supplier", "part", "nation", "region", "events"))
+      write(read(t), t)
+    val nDocs = read("documents").count()
+    write(replicate(read("documents"), Seq("doc_id"), nDocs), "documents")
+    val nVecs = read("embeddings").count()
+    write(replicate(read("embeddings"), Seq("vec_id"), nVecs), "embeddings")
+    println(s"[scaleup] wrote $dst: ${copies}x conversations/documents/" +
+      s"embeddings, dimensions fixed")
+    spark.stop()
+  }
+}

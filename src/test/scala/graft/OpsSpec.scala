@@ -203,6 +203,26 @@ class OpsSpec extends SparkSpec {
     assert(s3 <= s1, s"Lloyd iterations must not increase SSE: $s1 -> $s3")
   }
 
+  test("auto plane count keeps expected bucket occupancy bounded at any corpus size") {
+    // never below the floor; above it, occupancy n / 2^planes <= target
+    assert(Similarity.planesFor(100) === 8)
+    assert(Similarity.planesFor(2000) === 8)
+    for (n <- Seq(100000L, 10000000L, 1000000000L)) {
+      val p = Similarity.planesFor(n)
+      assert(n.toDouble / math.pow(2, p) <= 32.0, s"occupancy at n=$n planes=$p")
+      assert(n.toDouble / math.pow(2, p - 1) > 32.0, s"not overshooting at n=$n")
+    }
+    // the auto variant wires it through (3 near-identical vectors -> the
+    // floor plane count; same pair as the fixed-plane path)
+    val base = (0 until 64).map(i => math.sin(i * 2.3).toFloat).toArray
+    val near = base.clone(); near(1) = near(1) + 0.01f
+    val far = (0 until 64).map(i => math.cos(i * 5.1).toFloat).toArray
+    val vecs = Seq((0L, base), (1L, near), (2L, far)).toDF("vec_id", "embedding")
+    val got = Similarity.cosineDupPairsAuto(vecs, minCosPpm = 900000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((0L, 1L)))
+  }
+
   test("k-sweep: elbow rule picks exactly one k, reproducibly") {
     import graft.ops.Clustering
     val vecs = (0L until 32L).map { i =>
