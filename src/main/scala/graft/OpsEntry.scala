@@ -52,11 +52,26 @@ object OpsEntry {
 
     "emb_cluster_ensemble" -> ((s, dir) => Clustering.ensemble(emb(s, dir))),
 
-    // k-selection sweep: Lloyd + integer SSE per k, deterministic elbow
+    // k-selection sweep: Lloyd + integer SSE + simplified-silhouette
+    // components per k; chosen = silhouette argmax (the reference rule)
     "emb_k_sweep" -> ((s, dir) => {
       import s.implicits._
-      Clustering.kSweep(emb(s, dir)).toDF("k", "sse", "chosen")
+      Clustering.kSweep(emb(s, dir))
+        .toDF("k", "sse", "sil_num", "sil_den", "chosen")
     }),
+
+    // engine-exact TF-IDF (floor-log2 idf via bin(), no float log):
+    // top-3 terms per document
+    "doc_tfidf_terms" -> ((s, dir) =>
+      TextOps.tfidfTerms(docs(s, dir)).select(
+        col("doc_id").cast("long").as("doc_id"), col("term"),
+        col("tf"), col("df"), col("idf"), col("score"), col("rk"))),
+
+    // the reference's text -> TF-IDF -> k-means chain: hashed TF-IDF
+    // feature vectors clustered by the same integer-exact Lloyd step
+    "doc_text_clusters" -> ((s, dir) =>
+      Clustering.lloydStep(TextOps.tfidfVectors(docs(s, dir)), k = 8)
+        .select(col("vec_id").as("doc_id"), col("cluster"))),
 
     // greedy contingency-table alignment of the two ensemble label spaces
     "emb_cluster_align" -> ((s, dir) => {
@@ -140,6 +155,35 @@ object OpsEntry {
       |${pfx}sv AS (SELECT CAST(sum((q.xq - ${pfx}sm.cq)*(q.xq - ${pfx}sm.cq)) AS BIGINT) AS sse
       |      FROM q JOIN ${pfx}a1 USING(vec_id)
       |      JOIN ${pfx}sm ON ${pfx}sm.cluster = ${pfx}a1.cluster AND ${pfx}sm.dim = q.dim)""".stripMargin
+
+  /** Simplified-silhouette components of a `<pfx>a1` assignment against
+    * its `<pfx>sm` centroids (mirrors Clustering.silhouette: per point
+    * a = d2 to own centroid, b = min d2 to others; exact long sums).
+    * `<pfx>sl` holds (num, den). */
+  private def silCtes(pfx: String): String =
+    s"""${pfx}sd AS (SELECT q.vec_id, ${pfx}sm.cluster AS cid, ${pfx}a1.cluster AS own,
+      |      sum((q.xq - ${pfx}sm.cq)*(q.xq - ${pfx}sm.cq)) AS d2
+      |      FROM q JOIN ${pfx}a1 USING(vec_id)
+      |      JOIN ${pfx}sm ON ${pfx}sm.dim = q.dim
+      |      GROUP BY q.vec_id, ${pfx}sm.cluster, ${pfx}a1.cluster),
+      |${pfx}pv AS (SELECT vec_id, min(CASE WHEN cid = own THEN d2 END) AS a,
+      |      min(CASE WHEN cid <> own THEN d2 END) AS b
+      |      FROM ${pfx}sd GROUP BY vec_id),
+      |${pfx}sl AS (SELECT CAST(sum(b - a) AS BIGINT) AS num,
+      |      CAST(sum(greatest(a, b)) AS BIGINT) AS den FROM ${pfx}pv)""".stripMargin
+
+  /** Shared TF-IDF CTE chain (mirrors TextOps.tfidfScores: tf per
+    * (doc, term), df per term, idf = length(bin(n_docs // df)) — the
+    * floor-log2 quantization, no float log). `sc` = scored terms. */
+  private val tfidfCtes: String =
+    """tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tfq AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+      |dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+      |nd AS (SELECT count(*) AS n_docs FROM documents),
+      |sc AS (SELECT tfq.doc_id, tfq.term, CAST(tfq.tf AS BIGINT) AS tf,
+      |              CAST(dfq.df AS BIGINT) AS df,
+      |              CAST(length(bin(nd.n_docs // dfq.df)) AS BIGINT) AS idf
+      |       FROM tfq JOIN dfq USING(term) CROSS JOIN nd)""".stripMargin
 
   /** Word 3-gram shingle CTE (mirrors Dedup.shingles for docs with >= 3
     * words — the corpus guarantees >= 10). */
@@ -330,29 +374,65 @@ object OpsEntry {
         |       CAST(a.cluster * 8 + b.cluster AS BIGINT) AS consensus_key
         |FROM ea_a1 a JOIN eb_a1 b ON a.vec_id = b.vec_id""".stripMargin,
 
-    // k-selection sweep: one Lloyd chain + SSE per candidate k; chosen =
-    // smallest k whose relative SSE gain to the next k is under 10%
-    // (integer-exact, last k always qualifies)
+    // k-selection sweep: one Lloyd chain + SSE + silhouette per k;
+    // chosen = silhouette argmax (the reference rule; num/den compared
+    // as deterministically-rounded doubles, ties -> smaller k)
     "emb_k_sweep" ->
       s"""WITH $quantCte,
         |${lloydCtes("k2_", 0, 2)},
         |${sseCtes("k2_")},
+        |${silCtes("k2_")},
         |${lloydCtes("k4_", 0, 4)},
         |${sseCtes("k4_")},
+        |${silCtes("k4_")},
         |${lloydCtes("k8_", 0, 8)},
         |${sseCtes("k8_")},
+        |${silCtes("k8_")},
         |${lloydCtes("k16_", 0, 16)},
         |${sseCtes("k16_")},
-        |sw AS (SELECT CAST(2 AS BIGINT) AS k, (SELECT sse FROM k2_sv) AS sse
-        |       UNION ALL SELECT 4, (SELECT sse FROM k4_sv)
-        |       UNION ALL SELECT 8, (SELECT sse FROM k8_sv)
-        |       UNION ALL SELECT 16, (SELECT sse FROM k16_sv)),
-        |g AS (SELECT k, sse, lead(sse) OVER (ORDER BY k) AS nsse FROM sw),
-        |ch AS (SELECT min(k) AS ck FROM g
-        |       WHERE nsse IS NULL OR (sse - nsse) * 10 < sse)
+        |${silCtes("k16_")},
+        |sw AS (SELECT CAST(2 AS BIGINT) AS k, (SELECT sse FROM k2_sv) AS sse,
+        |              (SELECT num FROM k2_sl) AS sil_num, (SELECT den FROM k2_sl) AS sil_den
+        |       UNION ALL SELECT 4, (SELECT sse FROM k4_sv), (SELECT num FROM k4_sl), (SELECT den FROM k4_sl)
+        |       UNION ALL SELECT 8, (SELECT sse FROM k8_sv), (SELECT num FROM k8_sl), (SELECT den FROM k8_sl)
+        |       UNION ALL SELECT 16, (SELECT sse FROM k16_sv), (SELECT num FROM k16_sl), (SELECT den FROM k16_sl)),
+        |rkd AS (SELECT *, row_number() OVER (ORDER BY
+        |          CASE WHEN sil_den = 0 THEN 0.0
+        |               ELSE CAST(sil_num AS DOUBLE) / CAST(sil_den AS DOUBLE) END DESC,
+        |          k ASC) AS r
+        |        FROM sw)
         |SELECT k, CAST(sse AS BIGINT) AS sse,
-        |       CAST(CASE WHEN k = (SELECT ck FROM ch) THEN 1 ELSE 0 END AS BIGINT) AS chosen
-        |FROM g""".stripMargin,
+        |       CAST(sil_num AS BIGINT) AS sil_num, CAST(sil_den AS BIGINT) AS sil_den,
+        |       CAST(CASE WHEN r = 1 THEN 1 ELSE 0 END AS BIGINT) AS chosen
+        |FROM rkd""".stripMargin,
+
+    // engine-exact TF-IDF: top-3 terms per doc by (tf * floor-log2-idf)
+    "doc_tfidf_terms" ->
+      s"""WITH $tfidfCtes
+        |SELECT doc_id, term, tf, df, idf, tf * idf AS score, rk FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tf * idf DESC, term) AS BIGINT) AS rk
+        |  FROM sc
+        |) WHERE rk <= 3""".stripMargin,
+
+    // text -> hashed TF-IDF vector (16 dims, per-dim score share) ->
+    // one integer-exact Lloyd step
+    "doc_text_clusters" ->
+      s"""WITH $tfidfCtes,
+        |hd AS (SELECT doc_id,
+        |              CAST((strpos('0123456789abcdef', substr(md5(term),1,1)) - 1) % 16 AS INT) AS dim0,
+        |              sum(tf * idf) AS s
+        |       FROM sc GROUP BY doc_id, dim0),
+        |tot AS (SELECT doc_id, sum(s) AS t FROM hd GROUP BY doc_id),
+        |dims AS (SELECT CAST(range AS INT) AS dim0 FROM range(0, 16)),
+        |q AS (SELECT d.doc_id AS vec_id, dims.dim0 + 1 AS dim,
+        |             CAST(round(CAST(coalesce(hd.s, 0) AS DOUBLE) / CAST(tot.t AS DOUBLE) * 1e6) AS BIGINT) AS xq
+        |      FROM (SELECT DISTINCT doc_id FROM documents) d
+        |      CROSS JOIN dims
+        |      LEFT JOIN hd ON hd.doc_id = d.doc_id AND hd.dim0 = dims.dim0
+        |      JOIN tot ON tot.doc_id = d.doc_id),
+        |${lloydCtes("tc_", 0, 8)}
+        |SELECT CAST(vec_id AS BIGINT) AS doc_id, CAST(cluster AS BIGINT) AS cluster
+        |FROM tc_a1""".stripMargin,
 
     // greedy argmax alignment of the two ensemble label spaces over the
     // (cluster_a, cluster_b) contingency table: repeatedly take the

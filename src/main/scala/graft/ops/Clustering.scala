@@ -120,28 +120,68 @@ object Clustering {
       .agg(sum(col("d2"))).collect()(0).getLong(0)
   }
 
-  /** k-selection sweep (the reference sweeps k and picks the best score,
-    * semantic_clustering.py:42-65 — silhouette there, a deterministic
-    * integer-SSE elbow here so the DuckDB oracle reproduces the choice
-    * bit-for-bit): one Lloyd iteration + SSE per candidate k, then
-    * `chosen = 1` for the SMALLEST k whose relative SSE gain to the next
-    * k falls under 10% — integer-exact as (sse_k - sse_next) * 10 <
-    * sse_k; the largest k has no successor and always qualifies, so a
-    * chosen k always exists. Returns LOCAL rows (k, sse, chosen): the
-    * sweep output is |ks| rows by construction (each backed by a full
-    * distributed Lloyd + SSE pass). */
-  def kSweep(emb: DataFrame, ks: Seq[Int] = Seq(2, 4, 8, 16)): Seq[(Long, Long, Long)] = {
-    require(ks.nonEmpty && ks == ks.sorted && ks.distinct == ks,
-      s"kSweep: ks must be non-empty, ascending, distinct — got $ks")
+  /** Micro-averaged simplified silhouette of an assignment (the
+    * reference's k-selection score, semantic_clustering.py:42-65, in the
+    * centroid-based simplified form): per point, a = d2 to its own
+    * centroid, b = min d2 to any OTHER centroid; the aggregate score is
+    * Σ(b−a) / Σmax(a,b) ∈ [−1, 1]. Returned as the exact integer
+    * (numerator, denominator) pair — a float mean over points would be
+    * summation-order dependent, while long sums are associative and
+    * compare exactly across engines. Centroids are the round(avg) means
+    * of the assignment itself (same rule as [[sse]]); requires k >= 2
+    * (b undefined otherwise). Long-overflow headroom: d2 ≤ dims·(2e6)²
+    * per pair, so sums stay in range up to ~10^4 · dims^-1 · 10^18 / 2.6e14
+    * ≈ tens of thousands of vectors per sweep sample — sample the corpus
+    * before sweeping at larger scale. */
+  def silhouette(emb: DataFrame, assignment: DataFrame): (Long, Long) =
+    silhouetteOnQ(quantized(emb), assignment)
+
+  private def silhouetteOnQ(q: DataFrame, assignment: DataFrame): (Long, Long) = {
+    val withA = q.join(assignment, Seq("vec_id"))
+    val cents = withA
+      .select(col("cluster"), posexplode(col("xq")).as(Seq("dim", "v")))
+      .groupBy(col("cluster"), col("dim"))
+      .agg(round(avg(col("v"))).cast("long").as("cv"))
+      .groupBy(col("cluster").as("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("cv")))),
+        s => s.getField("cv")).as("cq"))
+    val d = withA.crossJoin(broadcast(cents))
+      .withColumn("d2", dist2(col("xq"), col("cq")))
+    val perVec = d.groupBy(col("vec_id"), col("cluster"))
+      .agg(min(when(col("cid") === col("cluster"), col("d2"))).as("a"),
+        min(when(col("cid") =!= col("cluster"), col("d2"))).as("b"))
+    val r = perVec.agg(
+      sum(col("b") - col("a")).as("num"),
+      sum(greatest(col("a"), col("b"))).as("den")).collect()(0)
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** k-selection sweep (reference semantic_clustering.py:42-65: sweep k,
+    * pick the best silhouette): one Lloyd iteration per candidate k, then
+    * integer SSE (the elbow diagnostic) AND the simplified-silhouette
+    * components; `chosen = 1` for the k with the highest silhouette ratio
+    * (num/den compared as deterministically-rounded doubles — both
+    * engines round the same longs to the same doubles — ties and a zero
+    * denominator fall back to the smaller k). Returns LOCAL rows
+    * (k, sse, sil_num, sil_den, chosen): |ks| rows by construction, each
+    * backed by a full distributed Lloyd + SSE + silhouette pass. */
+  def kSweep(emb: DataFrame, ks: Seq[Int] = Seq(2, 4, 8, 16)): Seq[(Long, Long, Long, Long, Long)] = {
+    require(ks.nonEmpty && ks == ks.sorted && ks.distinct == ks && ks.head >= 2,
+      s"kSweep: ks must be non-empty, ascending, distinct, all >= 2 — got $ks")
     // ONE quantization pass + checkpoint shared by every k's Lloyd chain
-    // and SSE scoring (values identical to per-k derivation)
+    // and both scorings (values identical to per-k derivation)
     val q = quantized(emb).localCheckpoint()
-    val sses = ks.map(k => (k.toLong, sseOnQ(q, lloydOnQ(q, k, iters = 1, seedFrom = 0))))
-    val chosenK = sses.indices.collectFirst {
-      case i if i == sses.length - 1 ||
-        (sses(i)._2 - sses(i + 1)._2) * 10 < sses(i)._2 => sses(i)._1
-    }.get
-    sses.map { case (k, v) => (k, v, if (k == chosenK) 1L else 0L) }
+    val rows = ks.map { k =>
+      // the assignment feeds two scorings -> checkpoint (two longs/row)
+      val a = lloydOnQ(q, k, iters = 1, seedFrom = 0).localCheckpoint()
+      val (num, den) = silhouetteOnQ(q, a)
+      (k.toLong, sseOnQ(q, a), num, den)
+    }
+    def sil(r: (Long, Long, Long, Long)): Double =
+      if (r._4 == 0L) 0.0 else r._3.toDouble / r._4.toDouble
+    val chosenK = rows.maxBy(r => (sil(r), -r._1))._1
+    rows.map { case (k, s, n, d) =>
+      (k, s, n, d, if (k == chosenK) 1L else 0L) }
   }
 
   /** Greedy ensemble label alignment (the reference aligns the two label

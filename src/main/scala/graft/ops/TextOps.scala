@@ -100,6 +100,70 @@ object TextOps {
         "#[^\\n]*", ""), "\\s+", " ")),
       "^[\"']+|[\"']+$", "")
 
+  /** TF-IDF term scores (the reference vectorizes docstrings with TF-IDF
+    * before clustering, semantic_clustering.py:42-65). sklearn's float
+    * `log` idf is replaced by an ENGINE-EXACT quantization:
+    * idf = bit_length(N div df) = floor(log2(N/df)) + 1, computed as
+    * `length(bin(...))` — no float logarithm ever crosses an engine
+    * boundary, so the DuckDB oracle reproduces every score bit-for-bit.
+    * score = tf * idf.
+    *
+    * Scale shape: one shuffle for (doc, term) tf, one for term df; the
+    * total-doc count rides as a broadcast scalar (no driver action); the
+    * term-df dictionary scales with the vocabulary, so the join back is
+    * size-gated (broadcast below the gate, AQE above). */
+  def tfidfScores(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val tok = docs.select(col(idCol), explode(split(col(textCol), " ")).as("term"))
+    val tf = tok.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfT = tok.groupBy(col("term"))
+      .agg(count_distinct(col(idCol)).as("df"))
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(graft.canonical.Joins.dim(dfT), Seq("term"))
+      .crossJoin(broadcast(total))
+      .withColumn("idf", length(bin(expr("n_docs div df"))).cast("long"))
+      .select(col(idCol), col("term"), col("tf").cast("long").as("tf"),
+        col("df").cast("long").as("df"), col("idf"),
+        (col("tf") * col("idf")).cast("long").as("score"))
+  }
+
+  /** Top-k TF-IDF terms per document (score desc, term asc — total
+    * deterministic order): the sparse head of the document's TF-IDF
+    * vector. */
+  def tfidfTerms(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", topK: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(idCol).orderBy(col("score").desc, col("term"))
+    tfidfScores(docs, idCol, textCol)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= topK)
+  }
+
+  /** Dense hashed TF-IDF feature vectors (the hashing-trick projection of
+    * the sparse TF-IDF vector): term → dimension via the first md5 hex
+    * digit (`dims` ≤ 16), value = the dimension's share of the document's
+    * total score (exact-integer sums divided once at the end — a single
+    * IEEE division of exactly-represented longs, deterministic across
+    * engines). Output (vec_id, embedding: array<double> of length
+    * `dims`, values in [0,1]) — directly consumable by
+    * [[Clustering.lloyd]], which completes the reference's
+    * text → TF-IDF → k-means chain. */
+  def tfidfVectors(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", dims: Int = 16): DataFrame = {
+    require(dims >= 2 && dims <= 16, s"dims must be in [2,16], got $dims")
+    val sc = tfidfScores(docs, idCol, textCol)
+      .withColumn("dim", expr(
+        s"CAST((instr('0123456789abcdef', substring(md5(term), 1, 1)) - 1) % $dims AS INT)"))
+    sc.groupBy(col(idCol), col("dim")).agg(sum(col("score")).as("s"))
+      .groupBy(col(idCol))
+      .agg(map_from_entries(collect_list(struct(col("dim"), col("s")))).as("m"),
+        sum(col("s")).as("t"))
+      .select(col(idCol).cast("long").as("vec_id"),
+        transform(sequence(lit(0), lit(dims - 1)),
+          d => coalesce(element_at(col("m"), d), lit(0L)).cast("double") /
+            col("t").cast("double")).as("embedding"))
+  }
+
   /** Document fingerprint: 4 min-wise hashes over word 5-gram shingles
     * (rolling-hash winnowing, expressed as seeded md5 minima). Stable
     * under small edits away from the minimal shingles. */

@@ -32,7 +32,13 @@ object StatefulResolve {
     var st = state.getOption.getOrElse(ConvState(Map.empty, None))
     val out = scala.collection.mutable.ListBuffer[ResolvedRelation]()
     // intra-batch arrival order is arbitrary -> restore turn order
-    // (hop last: chain fan-out rows share (turn_idx, mention_idx))
+    // (hop last: chain fan-out rows share (turn_idx, mention_idx)).
+    // CONTRACT: this buffers ONE conversation's mentions OF ONE
+    // micro-batch in executor memory — bounded by conversation length x
+    // batch cadence, which transcripts bound by construction (the batch
+    // path has no such per-group materialization). A source that can
+    // deliver unbounded single-conversation batches must cap its batch
+    // size (maxOffsetsPerTrigger or equivalent) before this operator.
     rows.toSeq.sortBy(m => (m.turn_idx, m.mention_idx, m.hop)).foreach { m =>
       m.kind match {
         case "entity_def" =>

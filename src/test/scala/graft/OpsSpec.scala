@@ -223,23 +223,58 @@ class OpsSpec extends SparkSpec {
     assert(got === Set((0L, 1L)))
   }
 
-  test("k-sweep: elbow rule picks exactly one k, reproducibly") {
+  test("k-sweep: silhouette argmax picks exactly one k, reproducibly") {
     import graft.ops.Clustering
     val vecs = (0L until 32L).map { i =>
       (i, (0 until 8).map(j => (((i % 4) * 29 + j * 13 + i) % 9 - 4).toFloat).toArray)
     }.toDF("vec_id", "embedding")
     val sw = Clustering.kSweep(vecs, Seq(2, 4, 8))
     assert(sw.map(_._1) === Seq(2L, 4L, 8L))
-    assert(sw.count(_._3 == 1L) === 1, "exactly one chosen k")
-    // the chosen k must satisfy the published integer elbow rule
-    val byK = sw.map(t => t._1 -> t._2).toMap
-    val expected = Seq(2L, 4L, 8L).find { k =>
-      val next = Seq(2L, 4L, 8L).find(_ > k)
-      next.forall(n => (byK(k) - byK(n)) * 10 < byK(k))
-    }.get
-    assert(sw.find(_._3 == 1L).get._1 === expected)
+    assert(sw.count(_._5 == 1L) === 1, "exactly one chosen k")
+    // silhouette invariants: den > 0, |num| <= den (b-a <= max(a,b))
+    sw.foreach { r => assert(r._4 > 0 && math.abs(r._3) <= r._4, r) }
+    // the chosen k must be the silhouette argmax (ties -> smaller k)
+    def sil(r: (Long, Long, Long, Long, Long)): Double =
+      if (r._4 == 0L) 0.0 else r._3.toDouble / r._4.toDouble
+    val expected = sw.maxBy(r => (sil(r), -r._1))._1
+    assert(sw.find(_._5 == 1L).get._1 === expected)
     // determinism: a second sweep returns identical rows
     assert(Clustering.kSweep(vecs, Seq(2, 4, 8)) === sw)
+  }
+
+  test("tfidf: floor-log2 idf exact; rare terms outrank ubiquitous ones") {
+    val docs = Seq(
+      (0L, "the cat sat"), (1L, "the dog ran"),
+      (2L, "the cat ran"), (3L, "the rare zebra")).toDF("doc_id", "text")
+    val sc = TextOps.tfidfScores(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getAs[Long]("idf"), r.getAs[Long]("score"))).toMap
+    // 'the' in all 4 docs: idf = bitlen(4/4) = 1; 'zebra' df=1: bitlen(4) = 3
+    assert(sc((0L, "the"))._1 === 1L)
+    assert(sc((3L, "zebra")) === ((3L, 3L)))
+    // top term of doc 3: score tie between 'rare' and 'zebra' -> term asc
+    val top = graft.ops.TextOps.tfidfTerms(docs, topK = 1).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(top(3L) === "rare")
+  }
+
+  test("hashed tfidf vectors: dense dims, shares sum to 1, feed Lloyd") {
+    import graft.ops.Clustering
+    val docs = (0L until 12L).map { i =>
+      (i, if (i % 2 == 0) s"alpha beta gamma token$i common words here"
+          else s"omega psi chi token$i common words here")
+    }.toDF("doc_id", "text")
+    val vecs = TextOps.tfidfVectors(docs)
+    val rows = vecs.collect()
+    assert(rows.length === 12)
+    rows.foreach { r =>
+      val e = r.getSeq[Double](1)
+      assert(e.length === 16)
+      assert(math.abs(e.sum - 1.0) < 1e-9, s"shares must sum to 1: ${e.sum}")
+    }
+    // the vectors are Lloyd-consumable (dense vec_ids from 0)
+    val cl = Clustering.lloydStep(vecs, k = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cl.size === 12 && cl.values.toSet.subsetOf(Set(0L, 1L)))
   }
 
   test("ensemble alignment: greedy argmax matching on a hand-checked contingency") {
