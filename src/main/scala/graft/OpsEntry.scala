@@ -89,6 +89,13 @@ object OpsEntry {
     // near-dup collapse: CC over verified LSH pairs -> dup_group + keep
     "doc_dup_clusters" -> ((s, dir) => Dedup.dupClusters(docs(s, dir))),
 
+    // train<->eval 8-gram decontamination; benchmark = doc_id % 100 == 0
+    "doc_decontam" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.decontaminate(d, d.filter(col("doc_id") % 100 === 0))
+        .select(col("doc_id").cast("long").as("doc_id"), col("n_hits"))
+    }),
+
     // bounded frame-sampling plan off the decoded media metadata
     "doc_frame_sample" -> ((s, dir) =>
       Multimodal.sampleFrames(Multimodal.extract(s, docs(s, dir)))),
@@ -551,6 +558,17 @@ object OpsEntry {
         |       CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS dup_group,
         |       CAST(CASE WHEN coalesce(c.component, d.doc_id) = d.doc_id THEN 1 ELSE 0 END AS BIGINT) AS keep
         |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id""".stripMargin,
+
+    // 8-gram decontamination: distinct-hit counts of training docs
+    // against the benchmark slice's shingle set
+    "doc_decontam" ->
+      s"""WITH ${shingleCte(8)},
+        |tsh AS (SELECT DISTINCT doc_id, md5(shingle) AS sh FROM shf),
+        |esh AS (SELECT DISTINCT sh FROM tsh WHERE doc_id % 100 = 0)
+        |SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+        |       CAST(count(DISTINCT t.sh) AS BIGINT) AS n_hits
+        |FROM tsh t JOIN esh USING(sh)
+        |GROUP BY t.doc_id""".stripMargin,
 
     "doc_frame_sample" ->
       """WITH m AS (

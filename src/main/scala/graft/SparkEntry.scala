@@ -251,6 +251,20 @@ object SparkEntry {
         coalesce(col("in_deg"), lit(0L)).as("in_deg"))
   }
 
+  /** Fixed-point integer PageRank over the emitted edge table (graph
+    * analytics beyond degrees — the networkx-style consumption the
+    * reference's Neo4j export exists for, run IN the engine): 5
+    * iterations, multi-edges count, deterministic at any partitioning
+    * (graph/Analytics.pageRank — long sums + floor division only). */
+  private def qPageRank(s: SparkSession, dir: String): DataFrame = {
+    val pr = graft.graph.Analytics.pageRank(graft.graph.Pipeline.edges(s, dir))
+    val n = graft.graph.Pipeline.nodes(s, dir)
+      .select(col("node_id"), col("canonical_name"))
+    // both sides node-cardinality and distinct per key: plain equi join
+    pr.join(n, Seq("node_id"))
+      .select(col("node_id"), col("canonical_name"), col("pr"))
+  }
+
   /** Static question rows × node-type cross product (the reference's
     * question_nodes × cluster pattern, knowledge_graph.py:1513-1532 /
     * SURVEY J12): a small driver-side table crossed against a distinct
@@ -670,6 +684,7 @@ object SparkEntry {
     "kg_components" -> (qComponents _),
     "kg_fuzzy_link" -> (qFuzzyLink _),
     "kg_degrees" -> (qDegrees _),
+    "kg_pagerank" -> (qPageRank _),
     "kg_questions" -> (qQuestions _),
     "kg_question_cluster_edges" -> (qQuestionClusterEdges _),
     "kg_containment" -> (qContainment _),
@@ -1107,6 +1122,30 @@ object SparkEntry {
         |  UNION ALL SELECT 1, 'how' UNION ALL SELECT 2, 'when' UNION ALL SELECT 3, 'where'
         |), (SELECT DISTINCT CAST(a1.cluster AS BIGINT) AS cluster_id
         |    FROM a1 JOIN nodes n ON a1.vec_id = n.node_id)""".stripMargin,
+
+    "kg_pagerank" -> {
+      def prIter(i: Int): String =
+        s"""pr$i AS (SELECT vn.node_id, CAST(150000 + (85 * coalesce(s.inflow, 0)) // 100 AS BIGINT) AS pr
+          |        FROM vn LEFT JOIN (
+          |          SELECT e.dst_id AS node_id, sum(p.pr // dg.deg) AS inflow
+          |          FROM e JOIN pr${i - 1} p ON e.src_id = p.node_id
+          |          JOIN dg ON e.src_id = dg.src_id
+          |          GROUP BY e.dst_id) s USING(node_id))""".stripMargin
+      withBase(
+        s""", e AS (
+          |  SELECT ns.node_id AS src_id, nd.node_id AS dst_id
+          |  FROM triples t
+          |  JOIN nodes ns ON t.subj = ns.canonical_name
+          |  JOIN nodes nd ON t.obj = nd.canonical_name
+          |),
+          |vn AS (SELECT DISTINCT node_id FROM (
+          |  SELECT src_id AS node_id FROM e UNION ALL SELECT dst_id FROM e)),
+          |dg AS (SELECT src_id, count(*) AS deg FROM e GROUP BY src_id),
+          |pr0 AS (SELECT node_id, CAST(1000000 AS BIGINT) AS pr FROM vn),
+          |${(1 to 5).map(prIter).mkString(",\n")}
+          |SELECT n.node_id, n.canonical_name, p.pr
+          |FROM pr5 p JOIN nodes n USING(node_id)""".stripMargin)
+    },
 
     "kg_degrees" -> withBase(
       """SELECT n.node_id, n.canonical_name,

@@ -173,6 +173,30 @@ object Dedup {
       (col("id") === col("component")).cast("long").as("keep"))
   }
 
+  /** Train↔eval decontamination — the n-gram-overlap scrub every LLM
+    * training pipeline runs before training (flag training docs sharing
+    * any word n-gram with a benchmark/eval set; 8-grams here, the
+    * GPT-3/PaLM-style window). Both sides shingle once (explode +
+    * distinct, md5 keys); the eval side is a benchmark — tiny by
+    * construction — so the membership join is size-gated (broadcast
+    * below the gate, AQE above); the training corpus streams through
+    * exactly once. Output: one row per CONTAMINATED training doc with
+    * its distinct-hit count (callers left-join to keep clean docs). */
+  def decontaminate(train: DataFrame, evalSet: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      ngram: Int = 8): DataFrame = {
+    def sh(df: DataFrame): DataFrame = df
+      .select(col(idCol), col(textCol).as("_t"), split(col(textCol), " ").as("_w"))
+      .select(col(idCol),
+        explode(array_distinct(shinglesOfWords(col("_w"), col("_t"), ngram))).as("_s"))
+      .select(col(idCol), md5(col("_s")).as("sh"))
+    val evalSh = sh(evalSet).select("sh").distinct()
+    sh(train)
+      .join(graft.canonical.Joins.dim(evalSh), Seq("sh"))
+      .groupBy(col(idCol))
+      .agg(count_distinct(col("sh")).as("n_hits"))
+  }
+
   /** 16-bit SimHash from the top bit of 16 md5-hex positions per token
     * (each hex-digit top bit is an independent 1-bit hash). Portable to
     * any engine with md5 + substr. */

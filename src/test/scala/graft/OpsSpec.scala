@@ -49,6 +49,18 @@ class OpsSpec extends SparkSpec {
     assert(uncapped.length === 1770)
   }
 
+  test("decontamination flags docs sharing 8-grams with the eval set, counts distinct hits") {
+    // eval = doc 1; doc 4 is its exact dup (all 6 shingles hit), doc 2
+    // differs in the last word only (the 5 shingles not covering it hit),
+    // docs 3/5 share nothing
+    val evalSet = corpus.filter(col("doc_id") === 1)
+    val hits = Dedup.decontaminate(corpus, evalSet).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits(1L) === 6L && hits(4L) === 6L)
+    assert(hits(2L) === 5L)
+    assert(!hits.contains(3L) && !hits.contains(5L))
+  }
+
   test("jaccard verification separates near-dups from candidates") {
     val pairs = Seq((1L, 2L), (1L, 3L)).toDF("a", "b")
     val v = Dedup.verifyJaccard(corpus, pairs, threshold = 0.5)
