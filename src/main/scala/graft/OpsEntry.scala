@@ -86,6 +86,25 @@ object OpsEntry {
         nQueries = 20, k = 10, nProbes = 2)
     }),
 
+    // ANN quality evaluation: per-query recall of the production IVF
+    // config against the exact brute-force ground truth — the measurement
+    // a pipeline runs before trusting an approximate index
+    "emb_ivf_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val bf = Similarity.bruteForceTopK(e)
+        .select(col("query_id"), col("neighbor_id"))
+      val iv = Similarity.ivfTopK(e, Similarity.ivfAssign(e, nCells = 16),
+        nQueries = 20, k = 10, nProbes = 2)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      bf.join(iv, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_matched"))
+        .select(col("query_id"), col("n_true"), col("n_matched"),
+          round(col("n_matched").cast("double") / col("n_true").cast("double") * 1e6)
+            .cast("long").as("recall_ppm"))
+    }),
+
     // near-dup collapse: CC over verified LSH pairs -> dup_group + keep
     "doc_dup_clusters" -> ((s, dir) => Dedup.dupClusters(docs(s, dir))),
 
@@ -246,6 +265,66 @@ object OpsEntry {
       |  FROM documents)
       |)""".stripMargin
 
+  /** Brute-force cosine top-k oracle (shared: emb_ann_topk + the
+    * recall evaluation). */
+  private val annTopkOracle: String =
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 20),
+        |p AS (SELECT q.query_id, e.vec_id, q.qe, e.embedding AS ve
+        |      FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+        |z AS (SELECT query_id, vec_id, unnest(qe) AS xa, unnest(ve) AS xb FROM p),
+        |d AS (SELECT query_id, vec_id,
+        |             sum(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE)) AS dot,
+        |             sum(CAST(xa AS DOUBLE) * CAST(xa AS DOUBLE)) AS na,
+        |             sum(CAST(xb AS DOUBLE) * CAST(xb AS DOUBLE)) AS nb
+        |      FROM z GROUP BY query_id, vec_id),
+        |s AS (SELECT query_id, vec_id AS neighbor_id,
+        |             CAST(round(dot / (sqrt(na) * sqrt(nb)) * 1000000) AS BIGINT) AS cos_ppm
+        |      FROM d)
+        |SELECT query_id, neighbor_id, cos_ppm, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_ppm DESC, neighbor_id) AS BIGINT) AS rank
+        |  FROM s
+        |) WHERE rank <= 10""".stripMargin
+
+  /** IVF multi-probe top-k oracle (shared: emb_ivf_topk + recall). */
+  private val ivfTopkOracle: String =
+    """WITH v AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+        |         CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings
+        |),
+        |nrm AS (SELECT vec_id, sqrt(sum(x*x)) AS nv FROM v GROUP BY vec_id),
+        |cent AS (SELECT vec_id AS cell, d, x FROM v WHERE vec_id < 16),
+        |simc AS (
+        |  SELECT v.vec_id, c.cell,
+        |         CAST(round(sum(v.x*c.x) / (nv.nv * nc.nv) * 1000000) AS BIGINT) AS sim_ppm
+        |  FROM v JOIN cent c USING(d)
+        |  JOIN nrm nv ON nv.vec_id = v.vec_id
+        |  JOIN nrm nc ON nc.vec_id = c.cell
+        |  GROUP BY v.vec_id, c.cell, nv.nv, nc.nv
+        |),
+        |rks AS (SELECT vec_id, cell,
+        |               row_number() OVER (PARTITION BY vec_id ORDER BY sim_ppm DESC, cell) AS rk
+        |        FROM simc),
+        |assign AS (SELECT vec_id, cell FROM rks WHERE rk = 1),
+        |probes AS (SELECT vec_id AS query_id, cell FROM rks WHERE rk <= 2 AND vec_id < 20),
+        |cand AS (SELECT p.query_id, a.vec_id
+        |         FROM probes p JOIN assign a ON a.cell = p.cell
+        |         WHERE a.vec_id <> p.query_id),
+        |simq AS (
+        |  SELECT c.query_id, c.vec_id,
+        |         CAST(round(sum(qv.x*vv.x) / (nq.nv * nn.nv) * 1000000) AS BIGINT) AS cos_ppm
+        |  FROM cand c
+        |  JOIN v qv ON qv.vec_id = c.query_id
+        |  JOIN v vv ON vv.vec_id = c.vec_id AND vv.d = qv.d
+        |  JOIN nrm nq ON nq.vec_id = c.query_id
+        |  JOIN nrm nn ON nn.vec_id = c.vec_id
+        |  GROUP BY c.query_id, c.vec_id, nq.nv, nn.nv
+        |)
+        |SELECT query_id, vec_id AS neighbor_id, cos_ppm, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_ppm DESC, vec_id) AS BIGINT) AS rank
+        |  FROM simq
+        |) WHERE rank <= 10""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "doc_dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
@@ -336,23 +415,7 @@ object OpsEntry {
         |       'fake/rgb8' AS format
         |FROM (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n FROM documents)""".stripMargin,
 
-    "emb_ann_topk" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 20),
-        |p AS (SELECT q.query_id, e.vec_id, q.qe, e.embedding AS ve
-        |      FROM q, embeddings e WHERE e.vec_id <> q.query_id),
-        |z AS (SELECT query_id, vec_id, unnest(qe) AS xa, unnest(ve) AS xb FROM p),
-        |d AS (SELECT query_id, vec_id,
-        |             sum(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE)) AS dot,
-        |             sum(CAST(xa AS DOUBLE) * CAST(xa AS DOUBLE)) AS na,
-        |             sum(CAST(xb AS DOUBLE) * CAST(xb AS DOUBLE)) AS nb
-        |      FROM z GROUP BY query_id, vec_id),
-        |s AS (SELECT query_id, vec_id AS neighbor_id,
-        |             CAST(round(dot / (sqrt(na) * sqrt(nb)) * 1000000) AS BIGINT) AS cos_ppm
-        |      FROM d)
-        |SELECT query_id, neighbor_id, cos_ppm, rank FROM (
-        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_ppm DESC, neighbor_id) AS BIGINT) AS rank
-        |  FROM s
-        |) WHERE rank <= 10""".stripMargin,
+    "emb_ann_topk" -> annTopkOracle,
 
     "doc_norm_hash" ->
       """WITH n AS (
@@ -470,44 +533,19 @@ object OpsEntry {
     // IVF multi-probe ANN (nCells=16, nProbes=2, queries = vec_id < 20):
     // assignment + probe ranking use ppm-quantized cosine so a last-ulp
     // float difference can never flip a cell across engines
-    "emb_ivf_topk" ->
-      """WITH v AS (
-        |  SELECT vec_id, generate_subscripts(embedding, 1) AS d,
-        |         CAST(unnest(embedding) AS DOUBLE) AS x
-        |  FROM embeddings
-        |),
-        |nrm AS (SELECT vec_id, sqrt(sum(x*x)) AS nv FROM v GROUP BY vec_id),
-        |cent AS (SELECT vec_id AS cell, d, x FROM v WHERE vec_id < 16),
-        |simc AS (
-        |  SELECT v.vec_id, c.cell,
-        |         CAST(round(sum(v.x*c.x) / (nv.nv * nc.nv) * 1000000) AS BIGINT) AS sim_ppm
-        |  FROM v JOIN cent c USING(d)
-        |  JOIN nrm nv ON nv.vec_id = v.vec_id
-        |  JOIN nrm nc ON nc.vec_id = c.cell
-        |  GROUP BY v.vec_id, c.cell, nv.nv, nc.nv
-        |),
-        |rks AS (SELECT vec_id, cell,
-        |               row_number() OVER (PARTITION BY vec_id ORDER BY sim_ppm DESC, cell) AS rk
-        |        FROM simc),
-        |assign AS (SELECT vec_id, cell FROM rks WHERE rk = 1),
-        |probes AS (SELECT vec_id AS query_id, cell FROM rks WHERE rk <= 2 AND vec_id < 20),
-        |cand AS (SELECT p.query_id, a.vec_id
-        |         FROM probes p JOIN assign a ON a.cell = p.cell
-        |         WHERE a.vec_id <> p.query_id),
-        |simq AS (
-        |  SELECT c.query_id, c.vec_id,
-        |         CAST(round(sum(qv.x*vv.x) / (nq.nv * nn.nv) * 1000000) AS BIGINT) AS cos_ppm
-        |  FROM cand c
-        |  JOIN v qv ON qv.vec_id = c.query_id
-        |  JOIN v vv ON vv.vec_id = c.vec_id AND vv.d = qv.d
-        |  JOIN nrm nq ON nq.vec_id = c.query_id
-        |  JOIN nrm nn ON nn.vec_id = c.vec_id
-        |  GROUP BY c.query_id, c.vec_id, nq.nv, nn.nv
-        |)
-        |SELECT query_id, vec_id AS neighbor_id, cos_ppm, rank FROM (
-        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_ppm DESC, vec_id) AS BIGINT) AS rank
-        |  FROM simq
-        |) WHERE rank <= 10""".stripMargin,
+    "emb_ivf_topk" -> ivfTopkOracle,
+
+    // per-query IVF recall vs the brute-force ground truth (both chains
+    // reused verbatim as subqueries — DuckDB allows WITH inside FROM)
+    "emb_ivf_recall" ->
+      s"""WITH bf AS (SELECT query_id, neighbor_id FROM ($annTopkOracle)),
+        |ivf AS (SELECT query_id, neighbor_id, 1 AS hit FROM ($ivfTopkOracle))
+        |SELECT bf.query_id,
+        |       CAST(count(*) AS BIGINT) AS n_true,
+        |       CAST(sum(coalesce(ivf.hit, 0)) AS BIGINT) AS n_matched,
+        |       CAST(round(CAST(sum(coalesce(ivf.hit, 0)) AS DOUBLE) / CAST(count(*) AS DOUBLE) * 1e6) AS BIGINT) AS recall_ppm
+        |FROM bf LEFT JOIN ivf USING(query_id, neighbor_id)
+        |GROUP BY bf.query_id""".stripMargin,
 
     // near-dup clusters: LSH candidates (with candidatePairs' oversized-
     // bucket star-collapse mirrored: full pairs at n <= 1000, rep-star

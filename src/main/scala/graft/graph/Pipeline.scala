@@ -102,16 +102,24 @@ object Pipeline {
       Canonical.nodes(entityNames(spark, sfDir))
     }
 
+  /** The entity vocabulary for the triple-forming joins is read from the
+    * COMMITTED nodes table (one row per name by construction), not
+    * re-derived: entityNames is a distinct over the full entity_def
+    * mention stream — one corpus-sized shuffle — and deriving it again
+    * here and in mintedNodes would run that shuffle three times per
+    * pipeline instead of once (inside the nodes stage). */
   def triples(spark: SparkSession, sfDir: String): DataFrame =
     StageStore.getOrCreate(spark, sfDir, "triples") {
-      Triples.knownOnly(resolved(spark, sfDir), entityNames(spark, sfDir))
+      Triples.knownOnly(resolved(spark, sfDir),
+        nodes(spark, sfDir).select("canonical_name"))
     }
 
   def mintedNodes(spark: SparkSession, sfDir: String): DataFrame =
     StageStore.getOrCreate(spark, sfDir, "minted_nodes") {
       Canonical.mintedNodes(
         nodes(spark, sfDir),
-        Triples.mintedNames(resolved(spark, sfDir), entityNames(spark, sfDir)))
+        Triples.mintedNames(resolved(spark, sfDir),
+          nodes(spark, sfDir).select("canonical_name")))
     }
 
   def edges(spark: SparkSession, sfDir: String): DataFrame =
