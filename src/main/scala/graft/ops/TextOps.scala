@@ -20,24 +20,30 @@ object TextOps {
   private def tokens(text: Column): Column = split(text, " ")
 
   /** Stopword-hit ratio as parts-per-million (integer — exact across
-    * engines, unlike rounded doubles). */
-  private def hitRatioPpm(text: Column, dict: Seq[String]): Column = {
-    val t = tokens(text)
-    round(size(filter(t, w => w.isin(dict.map(lit(_)): _*)))
-      .cast("double") / size(t).cast("double") * 1e6).cast("long")
-  }
+    * engines, unlike rounded doubles), over an ALREADY-projected words
+    * array column (each ratio expression would otherwise re-run the
+    * split — 2 evaluations x |langs| ratios per row; see the
+    * shinglesOfWords note on non-attribute subtrees). */
+  private def hitRatioPpm(words: Column, dict: Seq[String]): Column =
+    round(size(filter(words, w => w.isin(dict.map(lit(_)): _*)))
+      .cast("double") / size(words).cast("double") * 1e6).cast("long")
 
   /** Predicted language = argmax stopword-hit ratio, ties broken by
     * language code order (deterministic). Emits per-language ratios. */
   def langId(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", carry: Seq[String] = Nil): DataFrame = {
     val ratios = langDicts.map { case (l, d) =>
-      hitRatioPpm(col(textCol), d).as(s"r_$l")
+      hitRatioPpm(col("_w"), d).as(s"r_$l")
     }
     // `carry` columns ride along in the SAME projection so a consumer
     // needing text-derived extras (e.g. token counts for mix stats) gets
-    // them in one corpus scan instead of a second scan + join on id
-    val withR = docs.select((col(idCol) +: carry.map(col)) ++ ratios: _*)
+    // them in one corpus scan instead of a second scan + join on id;
+    // the words array is projected ONCE and every ratio reads the bound
+    // attribute (one split per row, not eleven)
+    val withW = docs.select(
+      (col(idCol) +: carry.map(col)) :+ tokens(col(textCol)).as("_w"): _*)
+    val withR = withW
+      .select((col(idCol) +: carry.map(col)) ++ ratios: _*)
     // argmax via greatest + chained when (langs sorted asc => first max wins)
     val best = langDicts.map(_._1).foldRight(lit("und")) { (l, acc) =>
       when(col(s"r_$l") === greatest(langDicts.map(x => col(s"r_${x._1}")): _*)
@@ -51,13 +57,15 @@ object TextOps {
     * to a deterministic formula). */
   def qualityScore(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val t = tokens(col(textCol))
+    // words projected once; every component reads the bound attribute
+    val t = col("_w")
     val nWords = size(t).cast("double")
     val stopR = size(filter(t, w =>
       w.isin(langDicts.toMap.apply("en").map(lit(_)): _*)))
       .cast("double") / nWords
     val avgLen = (length(col(textCol)) - (size(t) - 1)).cast("double") / nWords
-    docs.select(
+    docs.select(col(idCol), col(textCol),
+      tokens(col(textCol)).as("_w")).select(
       col(idCol),
       size(t).cast("long").as("n_words"),
       round(avgLen * 1e6).cast("long").as("avg_word_len_ppm"),
