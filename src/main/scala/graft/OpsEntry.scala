@@ -195,8 +195,10 @@ object OpsEntry {
       |${pfx}pv AS (SELECT vec_id, min(CASE WHEN cid = own THEN d2 END) AS a,
       |      min(CASE WHEN cid <> own THEN d2 END) AS b
       |      FROM ${pfx}sd GROUP BY vec_id),
-      |${pfx}sl AS (SELECT CAST(sum(b - a) AS BIGINT) AS num,
-      |      CAST(sum(greatest(a, b)) AS BIGINT) AS den FROM ${pfx}pv)""".stripMargin
+      |${pfx}sl AS (SELECT
+      |      CAST(coalesce(sum(CASE WHEN b IS NOT NULL THEN b - a ELSE 0 END), 0) AS BIGINT) AS num,
+      |      CAST(coalesce(sum(CASE WHEN b IS NOT NULL THEN greatest(a, b) ELSE a END), 0) AS BIGINT) AS den
+      |      FROM ${pfx}pv)""".stripMargin
 
   /** Shared TF-IDF CTE chain (mirrors TextOps.tfidfScores: tf per
     * (doc, term), df per term, idf = length(bin(n_docs // df)) — the
@@ -306,7 +308,11 @@ object OpsEntry {
         |               row_number() OVER (PARTITION BY vec_id ORDER BY sim_ppm DESC, cell) AS rk
         |        FROM simc),
         |assign AS (SELECT vec_id, cell FROM rks WHERE rk = 1),
-        |probes AS (SELECT vec_id AS query_id, cell FROM rks WHERE rk <= 2 AND vec_id < 20),
+        |occ AS (SELECT DISTINCT cell FROM assign),
+        |prk AS (SELECT vec_id, cell,
+        |               row_number() OVER (PARTITION BY vec_id ORDER BY sim_ppm DESC, cell) AS rk
+        |        FROM simc WHERE cell IN (SELECT cell FROM occ)),
+        |probes AS (SELECT vec_id AS query_id, cell FROM prk WHERE rk <= 2 AND vec_id < 20),
         |cand AS (SELECT p.query_id, a.vec_id
         |         FROM probes p JOIN assign a ON a.cell = p.cell
         |         WHERE a.vec_id <> p.query_id),

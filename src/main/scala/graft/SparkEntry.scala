@@ -182,12 +182,13 @@ object SparkEntry {
       .select(col("canonical_name"), col("node_id"))
     val withId = graft.canonical.Joins
       .innerSkewSafe(linked, n, "canonical_name", saltFrom = Seq("conv_id"))
-    withId.select(lit("segment_defines").as("edge_type"),
+    // one pass: a self-union would re-execute the whole join pipeline
+    // per direction — the direction label is a 2-element explode instead
+    withId.select(
+      explode(array(lit("segment_defines"), lit("defined_in_segment")))
+        .as("edge_type"),
       col("conv_id"), col("turn_idx"), col("seg_idx"),
       col("node_id"), col("canonical_name"))
-      .unionByName(withId.select(lit("defined_in_segment").as("edge_type"),
-        col("conv_id"), col("turn_idx"), col("seg_idx"),
-        col("node_id"), col("canonical_name")))
   }
 
   private def qTurnEdges(s: SparkSession, dir: String): DataFrame =

@@ -79,6 +79,14 @@ object StageStore {
   private val stampCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Drop the memoized input stamps: a LONG-LIVED driver (notebook/test
+    * JVM) that regenerates an input corpus at the same path must call
+    * this before re-querying, or getOrCreate will keep serving stage
+    * tables keyed by the pre-rewrite stamp — the memoization trades that
+    * (explicit, documented) hazard for not re-walking the corpus
+    * directory on every stage access. */
+  def invalidateStampCache(): Unit = stampCache.clear()
+
   private def inputStamp(inputKey: String): String =
     stampCache.computeIfAbsent(inputKey, key => try {
       val sb = new StringBuilder

@@ -133,10 +133,20 @@ object Clustering {
     * per pair, so sums stay in range up to ~10^4 · dims^-1 · 10^18 / 2.6e14
     * ≈ tens of thousands of vectors per sweep sample — sample the corpus
     * before sweeping at larger scale. */
-  def silhouette(emb: DataFrame, assignment: DataFrame): (Long, Long) =
-    silhouetteOnQ(quantized(emb), assignment)
+  def silhouette(emb: DataFrame, assignment: DataFrame): (Long, Long) = {
+    val (_, num, den) = scoreOnQ(quantized(emb), assignment)
+    (num, den)
+  }
 
-  private def silhouetteOnQ(q: DataFrame, assignment: DataFrame): (Long, Long) = {
+  /** One distributed pass computing BOTH sweep scores of an assignment:
+    * (sse, sil_num, sil_den). SSE is the sum of each point's own-centroid
+    * d2 — the `a` column the silhouette needs anyway, so scoring costs
+    * one centroid aggregation + one distance pass, not two of each.
+    * Null-safe: a degenerate assignment where every point lands in ONE
+    * cluster has no "other centroid" (b is NULL everywhere) — its
+    * silhouette contribution is the standard s=0 (num 0, den a), never a
+    * null that would NPE at the collect boundary. */
+  private def scoreOnQ(q: DataFrame, assignment: DataFrame): (Long, Long, Long) = {
     val withA = q.join(assignment, Seq("vec_id"))
     val cents = withA
       .select(col("cluster"), posexplode(col("xq")).as(Seq("dim", "v")))
@@ -151,9 +161,12 @@ object Clustering {
       .agg(min(when(col("cid") === col("cluster"), col("d2"))).as("a"),
         min(when(col("cid") =!= col("cluster"), col("d2"))).as("b"))
     val r = perVec.agg(
-      sum(col("b") - col("a")).as("num"),
-      sum(greatest(col("a"), col("b"))).as("den")).collect()(0)
-    (r.getLong(0), r.getLong(1))
+      coalesce(sum(col("a")), lit(0L)).as("sse"),
+      coalesce(sum(when(col("b").isNotNull, col("b") - col("a"))
+        .otherwise(lit(0L))), lit(0L)).as("num"),
+      coalesce(sum(when(col("b").isNotNull, greatest(col("a"), col("b")))
+        .otherwise(col("a"))), lit(0L)).as("den")).collect()(0)
+    (r.getLong(0), r.getLong(1), r.getLong(2))
   }
 
   /** k-selection sweep (reference semantic_clustering.py:42-65: sweep k,
@@ -172,10 +185,12 @@ object Clustering {
     // and both scorings (values identical to per-k derivation)
     val q = quantized(emb).localCheckpoint()
     val rows = ks.map { k =>
-      // the assignment feeds two scorings -> checkpoint (two longs/row)
+      // ONE scoring pass per k: sse rides the silhouette's own-centroid
+      // distances (scoreOnQ), so the sweep runs one centroid aggregation
+      // + one distance pass per k, not two of each
       val a = lloydOnQ(q, k, iters = 1, seedFrom = 0).localCheckpoint()
-      val (num, den) = silhouetteOnQ(q, a)
-      (k.toLong, sseOnQ(q, a), num, den)
+      val (sse, num, den) = scoreOnQ(q, a)
+      (k.toLong, sse, num, den)
     }
     def sil(r: (Long, Long, Long, Long)): Double =
       if (r._4 == 0L) 0.0 else r._3.toDouble / r._4.toDouble

@@ -181,12 +181,18 @@ object Dedup {
     * construction — so the membership join is size-gated (broadcast
     * below the gate, AQE above); the training corpus streams through
     * exactly once. Output: one row per CONTAMINATED training doc with
-    * its distinct-hit count (callers left-join to keep clean docs). */
+    * its distinct-hit count (callers left-join to keep clean docs).
+    *
+    * STRICT n-grams: a doc with fewer than `ngram` words has no n-gram
+    * and contributes nothing on either side (no whole-text fallback —
+    * a short eval doc's full text can never equal a train n-gram anyway,
+    * so the fallback would only manufacture asymmetric phantom hits). */
   def decontaminate(train: DataFrame, evalSet: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
       ngram: Int = 8): DataFrame = {
     def sh(df: DataFrame): DataFrame = df
       .select(col(idCol), col(textCol).as("_t"), split(col(textCol), " ").as("_w"))
+      .filter(size(col("_w")) >= ngram)
       .select(col(idCol),
         explode(array_distinct(shinglesOfWords(col("_w"), col("_t"), ngram))).as("_s"))
       .select(col(idCol), md5(col("_s")).as("sh"))

@@ -109,7 +109,10 @@ object Similarity {
     * back to their centroid vectors), never passed as a separate count: a
     * caller can therefore not rank probe cells against a different
     * codebook than the one that partitioned the corpus (which would
-    * silently degrade recall). At production scale the codebook is the
+    * silently degrade recall). Consequence: probe ranking sees the
+    * OCCUPIED cells only — an empty cell has nothing to scan, so probing
+    * it would waste one of the nProbes (the oracle ranks over occupied
+    * cells identically). At production scale the codebook is the
     * committed side table the assignments were built from; here the
     * broadcast-join derivation costs one map-side pass, no shuffle. */
   def ivfTopK(emb: DataFrame, assignments: DataFrame, nQueries: Int = 20,

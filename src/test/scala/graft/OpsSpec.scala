@@ -254,6 +254,16 @@ class OpsSpec extends SparkSpec {
     assert(Clustering.kSweep(vecs, Seq(2, 4, 8)) === sw)
   }
 
+  test("silhouette is null-safe when every point collapses to one cluster") {
+    import graft.ops.Clustering
+    val vecs = (0L until 6L).map(i => (i, Array.fill(4)(1.0f)))
+      .toDF("vec_id", "embedding")
+    val oneCluster = vecs.select(col("vec_id"), lit(0L).as("cluster"))
+    // b is NULL for every point (no other centroid): s contributes 0,
+    // den falls back to a (= 0 for identical points) — no NPE
+    assert(Clustering.silhouette(vecs, oneCluster) === ((0L, 0L)))
+  }
+
   test("tfidf: floor-log2 idf exact; rare terms outrank ubiquitous ones") {
     val docs = Seq(
       (0L, "the cat sat"), (1L, "the dog ran"),
