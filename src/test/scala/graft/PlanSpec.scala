@@ -126,6 +126,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Generate"), "no explode in the projection path")
   }
 
+  test("langId evaluates split exactly once (words array projected as an attribute)") {
+    // each of the 5 language ratios uses the words array twice; without
+    // the projected attribute the plan re-splits the text ~11x per row
+    // (the HOF/no-cheap-alias trap) — CollapseProject must keep the alias
+    val p = plan(TextOps.langId(
+      spark.read.parquet(s"$sfDir/documents.parquet")))
+    val splits = "split\\(".r.findAllIn(p).size
+    assert(splits === 1, s"expected exactly one split in the plan, got $splits:\n${p.take(1500)}")
+  }
+
   test("stratified sampling is a pure per-row filter: no shuffle in the plan") {
     val lang = TextOps.langId(spark.read.parquet(s"$sfDir/documents.parquet"))
       .select(col("doc_id"), col("pred_lang"))
