@@ -341,14 +341,18 @@ object SparkEntry {
     val both = graft.canonical.Joins.remapBoth(pairs,
       graft.graph.Pipeline.nodes(s, dir), "canonical_name", "node_id",
       "child", "parent", "child_id", "parent_id")
-    both.select(
-      lit("inherits_from").as("edge_type"),
-      col("child_id").as("src_id"), col("parent_id").as("dst_id"),
-      col("child").as("src_name"), col("parent").as("dst_name"))
-      .unionByName(both.select(
-        lit("contains").as("edge_type"),
+    // one pass for both directions (a self-union re-executes the remap
+    // joins per direction — same fix as qSegmentEntityEdges)
+    both.select(explode(array(
+      struct(lit("inherits_from").as("edge_type"),
+        col("child_id").as("src_id"), col("parent_id").as("dst_id"),
+        col("child").as("src_name"), col("parent").as("dst_name")),
+      struct(lit("contains").as("edge_type"),
         col("parent_id").as("src_id"), col("child_id").as("dst_id"),
-        col("parent").as("src_name"), col("child").as("dst_name")))
+        col("parent").as("src_name"), col("child").as("dst_name"))))
+      .as("e"))
+      .select(col("e.edge_type"), col("e.src_id"), col("e.dst_id"),
+        col("e.src_name"), col("e.dst_name"))
   }
 
   /** Side-table linking (reference issue_function_edges,
