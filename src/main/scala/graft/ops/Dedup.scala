@@ -197,10 +197,15 @@ object Dedup {
         explode(array_distinct(shinglesOfWords(col("_w"), col("_t"), ngram))).as("_s"))
       .select(col(idCol), md5(col("_s")).as("sh"))
     val evalSh = sh(evalSet).select("sh").distinct()
+    // (doc, sh) is distinct BY CONSTRUCTION (array_distinct per doc), so
+    // a plain count equals count_distinct — cheaper in batch (no
+    // distinct-expand) and legal on a STREAMING train side (streaming
+    // aggregations reject count_distinct; this runs as a stream-static
+    // join + stateful count, see StreamingSpec parity test)
     sh(train)
       .join(graft.canonical.Joins.dim(evalSh), Seq("sh"))
       .groupBy(col(idCol))
-      .agg(count_distinct(col("sh")).as("n_hits"))
+      .agg(count(lit(1)).as("n_hits"))
   }
 
   /** 16-bit SimHash from the top bit of 16 md5-hex positions per token

@@ -46,6 +46,29 @@ class StreamingSpec extends SparkSpec {
       (2L, 1L) -> 1L, (2L, 2L) -> 1L))
   }
 
+  test("streaming decontamination: stream-static shingle join matches batch counts") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bend"),
+      (3L, "completely different words about spark shuffle partitions and joins ok"))
+    val evalSet = docs.filter(_._1 == 1L).toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val stream = graft.ops.Dedup.decontaminate(
+      mem.toDF().toDF("doc_id", "text"), evalSet)
+    val q = stream.writeStream.format("memory").queryName("decontam")
+      .outputMode("complete").start()
+    try {
+      mem.addData(docs: _*)
+      q.processAllAvailable()
+      val got = rowSet(spark.table("decontam"))
+      val want = rowSet(graft.ops.Dedup.decontaminate(
+        docs.toDF("doc_id", "text"), evalSet))
+      assert(got === want)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming exact dedup: duplicate texts are dropped within the watermark, state bounded") {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, String)]
