@@ -32,6 +32,12 @@ object OpsEntry {
 
     "doc_tokens" -> ((s, dir) => TextOps.tokenCounts(docs(s, dir))),
 
+    // Gopher-style repetition gates: duplicate-word ratio + top-bigram share
+    "doc_repetition" -> ((s, dir) =>
+      TextOps.repetition(docs(s, dir)).select(
+        col("doc_id").cast("long").as("doc_id"), col("n_words"),
+        col("dup_word_ppm"), col("top_bigram_ppm"))),
+
     "doc_fingerprint" -> ((s, dir) => TextOps.fingerprints(docs(s, dir))),
 
     "doc_media_meta" -> ((s, dir) => Multimodal.extract(s, docs(s, dir))),
@@ -399,6 +405,20 @@ object OpsEntry {
         |         CAST(len(string_split(text,' ')) AS DOUBLE) AS nw,
         |         CAST(len(list_filter(string_split(text,' '), x -> x IN (${dictSql("en")}))) AS DOUBLE) AS stopn
         |  FROM documents)""".stripMargin,
+
+    // repetition gates: bigram multiplicity via the window-lead shingle
+    // CTE (no distinct — the mode needs counts)
+    "doc_repetition" ->
+      s"""WITH ${shingleCte(2)},
+        |base AS (SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n,
+        |                CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS nd
+        |         FROM documents),
+        |cnt AS (SELECT doc_id, shingle, count(*) AS c FROM shf GROUP BY doc_id, shingle),
+        |top AS (SELECT doc_id, max(c) AS top_bg, sum(c) AS n_bg FROM cnt GROUP BY doc_id)
+        |SELECT base.doc_id, base.n AS n_words,
+        |       CAST(round(CAST(base.n - base.nd AS DOUBLE) / CAST(base.n AS DOUBLE) * 1e6) AS BIGINT) AS dup_word_ppm,
+        |       CAST(round(CAST(top.top_bg AS DOUBLE) / CAST(top.n_bg AS DOUBLE) * 1e6) AS BIGINT) AS top_bigram_ppm
+        |FROM base JOIN top USING(doc_id)""".stripMargin,
 
     "doc_tokens" ->
       """SELECT doc_id,

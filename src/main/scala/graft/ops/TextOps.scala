@@ -76,6 +76,34 @@ object TextOps {
           least(avgLen / 10.0, lit(1.0)) * 0.3) * 1e6).cast("long").as("quality_ppm"))
   }
 
+  /** Repetition signals (the Gopher-style repetition filters a curation
+    * pipeline gates on): duplicate-word ratio (1 − distinct/total) and
+    * the most-frequent-bigram share, both in ppm. The bigram mode needs
+    * multiplicity, so bigrams explode WITHOUT array_distinct into a
+    * doc-keyed count (map-side combinable, shuffles keyed by doc id
+    * only). Requires >= 2 words per doc (the corpus guarantees it; a
+    * 1-word doc would contribute its whole-text fallback shingle —
+    * share 1e6, which is the right repetition verdict anyway). */
+  def repetition(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val w = docs.select(col(idCol), col(textCol).as("_t"),
+      split(col(textCol), " ").as("_w"))
+    val base = w.select(col(idCol), size(col("_w")).cast("long").as("n"),
+      size(array_distinct(col("_w"))).cast("long").as("nd"))
+    val top = w
+      .select(col(idCol),
+        explode(Dedup.shinglesOfWords(col("_w"), col("_t"), 2)).as("bg"))
+      .groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(max(col("c")).as("top_bg"), sum(col("c")).as("n_bg"))
+    base.join(top, Seq(idCol))
+      .select(col(idCol), col("n").as("n_words"),
+        round((col("n") - col("nd")).cast("double") / col("n").cast("double") * 1e6)
+          .cast("long").as("dup_word_ppm"),
+        round(col("top_bg").cast("double") / col("n_bg").cast("double") * 1e6)
+          .cast("long").as("top_bigram_ppm"))
+  }
+
   /** Token counts: whitespace tokens and a BPE-ish regex tokenizer
     * (letter runs | digit runs | single non-alnum). */
   def tokenCounts(docs: DataFrame, idCol: String = "doc_id",

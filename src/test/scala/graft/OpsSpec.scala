@@ -340,6 +340,18 @@ class OpsSpec extends SparkSpec {
     assert(uncapped.length === 1770)
   }
 
+  test("repetition signals: duplicate words and a repeated bigram dominate") {
+    val docs = Seq(
+      (1L, "spam spam spam spam"),
+      (2L, "all words here are unique okay")).toDF("doc_id", "text")
+    val r = TextOps.repetition(docs).collect()
+      .map(x => x.getLong(0) -> (x.getLong(2), x.getLong(3))).toMap
+    // doc 1: 4 words, 1 distinct -> dup 750000; one bigram repeated 3x of 3 -> 1e6
+    assert(r(1L) === ((750000L, 1000000L)))
+    // doc 2: all distinct -> dup 0; 5 distinct bigrams -> top share 200000
+    assert(r(2L) === ((0L, 200000L)))
+  }
+
   test("lang id predicts the dictionary language") {
     val docs = Seq(
       (1L, "the cat is on the mat and the dog is here"),
