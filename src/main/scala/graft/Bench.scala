@@ -23,9 +23,10 @@ object Bench {
     * disk writeback inflated UNCHANGED plans 3-4x — VERDICT r03), making
     * the recorded JSON useless for trend tracking. Gate on 1-min
     * loadavg < threshold, give up after maxWaitSec and proceed anyway
-    * (a bench that never runs is worse than a disclosed-dirty one); the
-    * observed loadavg + wait go into the JSON either way so a degraded
-    * draw is self-disclosing. */
+    * (a bench that never runs is worse than a disclosed-dirty one — and
+    * the default wait stays WELL under any plausible harness timeout);
+    * the observed loadavg + wait go into the JSON either way so a
+    * degraded draw is self-disclosing. */
   private def waitCleanPhase(threshold: Double, maxWaitSec: Int): (Double, Int) = {
     val t0 = System.nanoTime()
     var l = loadavg()
@@ -41,7 +42,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val (load0, waitedSec) = waitCleanPhase(
       sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE", "2.0").toDouble,
-      sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT", "600").toInt)
+      sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT", "300").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
