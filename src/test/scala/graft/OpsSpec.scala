@@ -61,6 +61,14 @@ class OpsSpec extends SparkSpec {
     assert(!hits.contains(3L) && !hits.contains(5L))
   }
 
+  test("decontamination is strict: sub-ngram docs have no n-grams on either side") {
+    // doc 6 (3 words) equals eval doc 7 (3 words) verbatim — neither has
+    // an 8-gram, so no phantom whole-text hit is manufactured
+    val train = corpus.unionByName(Seq((6L, "too short doc", "s3")).toDF("doc_id", "text", "source"))
+    val evalSet = Seq((7L, "too short doc")).toDF("doc_id", "text")
+    assert(Dedup.decontaminate(train, evalSet).collect().isEmpty)
+  }
+
   test("jaccard verification separates near-dups from candidates") {
     val pairs = Seq((1L, 2L), (1L, 3L)).toDF("a", "b")
     val v = Dedup.verifyJaccard(corpus, pairs, threshold = 0.5)
