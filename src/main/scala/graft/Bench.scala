@@ -12,11 +12,11 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** 1-minute loadavg (Linux); -1 where unreadable. */
-  private def loadavg(): Double = try {
-    scala.io.Source.fromFile("/proc/loadavg").mkString
-      .split(" ")(0).toDouble
-  } catch { case _: Throwable => -1.0 }
+  /** (1-minute, 5-minute) loadavg (Linux); -1 where unreadable. */
+  private def loadavg(): (Double, Double) = try {
+    val f = scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")
+    (f(0).toDouble, f(1).toDouble)
+  } catch { case _: Throwable => (-1.0, -1.0) }
 
   /** Wait (bounded) for a clean host phase before the timed work: the r3
     * official draw landed in a degraded-host window (neighbor load /
@@ -27,20 +27,28 @@ object Bench {
     * the default wait stays WELL under any plausible harness timeout);
     * the observed loadavg + wait go into the JSON either way so a
     * degraded draw is self-disclosing. */
-  private def waitCleanPhase(threshold: Double, maxWaitSec: Int): (Double, Int) = {
+  private def waitCleanPhase(threshold: Double, maxWaitSec: Int): (Double, Double, Int) = {
+    // gate on BOTH the 1-min and 5-min averages: the r4 official draw
+    // passed a 1-min-only gate yet landed in a disk-writeback window the
+    // short average cannot see (VERDICT r04 "what's wrong" #2) — the
+    // 5-min field catches a host still draining recent load. The 5-min
+    // bar is slightly looser (it decays slowly, so demanding the full
+    // threshold would stall long after the host is actually quiet).
     val t0 = System.nanoTime()
     var l = loadavg()
-    while (l >= threshold && (System.nanoTime() - t0) / 1e9 < maxWaitSec) {
+    def dirty(x: (Double, Double)): Boolean =
+      x._1 >= threshold || x._2 >= threshold * 1.5
+    while (dirty(l) && (System.nanoTime() - t0) / 1e9 < maxWaitSec) {
       Thread.sleep(15000)
       l = loadavg()
     }
-    (l, ((System.nanoTime() - t0) / 1e9).toInt)
+    (l._1, l._2, ((System.nanoTime() - t0) / 1e9).toInt)
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val (load0, waitedSec) = waitCleanPhase(
+    val (load0, load5, waitedSec) = waitCleanPhase(
       sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE", "2.0").toDouble,
       sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT", "300").toInt)
     val spark = SparkSession.builder()
@@ -85,7 +93,7 @@ object Bench {
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
         s""""pipeline_sec":$pipelineSec,"pipeline_edges":$nEdges,"triples_per_sec":$tps,"errors":$errs,""" +
-        s""""loadavg_at_start":$load0,"clean_phase_wait_sec":$waitedSec}""")
+        s""""loadavg_at_start":$load0,"loadavg5_at_start":$load5,"clean_phase_wait_sec":$waitedSec}""")
     spark.stop()
   }
 }

@@ -522,6 +522,54 @@ object SparkEntry {
         col("merged_by"))
   }
 
+  /** Rich PR properties (reference pr_nodes carry pr_title/pr_body/
+    * pr_open plus comments CAPPED AT 3 PER PR, knowledge_graph.py:
+    * 704-752 + 777-780 — the one §2.8 O-row shape, O3, the issue side
+    * doesn't exercise): one "pull request" per supplier with
+    * deterministic title/body/open flag, the nullable merged_by FK
+    * (same coercion as [[qPrEdges]]), and a comments
+    * ArrayType(StructType) column built by
+    * `slice(sort_array(collect_list(struct(...))), 1, 3)` — collect,
+    * total order, keep the first three. Every struct field is a pure
+    * function of (l_orderkey, l_linenumber), so the corpus's duplicate
+    * (orderkey, linenumber) rows yield IDENTICAL structs and the sort
+    * is unambiguous across engines. Comparison boundary is scalar:
+    * total + kept counts and md5 of the canonical to_json rendering of
+    * the sliced array (the oracle rebuilds the identical compact JSON
+    * via row_number <= 3 + string_agg). Fan-in per PR is lineitems per
+    * supplier — bounded; collect_list state is map-side combinable. */
+  private def qPrNodesRich(s: SparkSession, dir: String): DataFrame = {
+    val epoch = to_date(lit("1995-01-01"))
+    val prs = s.read.parquet(s"$dir/supplier.parquet").select(
+      col("s_suppkey").cast("long").as("pr_id"),
+      col("s_name"),
+      when(col("s_suppkey") % 5 === 0, lit(null).cast("long"))
+        .otherwise((col("s_suppkey") * 37 % 1000).cast("long")).as("merged_by"))
+    val cm0 = s.read.parquet(s"$dir/lineitem.parquet").select(
+      col("l_suppkey").cast("long").as("pr_id"),
+      (col("l_orderkey") * 8 + col("l_linenumber")).cast("long").as("cid"),
+      col("l_orderkey").cast("long").as("ok"))
+    val cm = cm0.select(col("pr_id"), struct(
+      col("cid"),
+      concat(lit("dev_"), (col("cid") % 25).cast("string")).as("cuser"),
+      date_format(date_add(epoch, (col("cid") % 1000).cast("int")),
+        "yyyy-MM-dd").as("created_at"),
+      concat(lit("comment on order "), col("ok").cast("string")).as("body"))
+      .as("c"))
+    val agg = cm.groupBy(col("pr_id"))
+      .agg(slice(sort_array(collect_list(col("c"))), 1, 3).as("comments"),
+        count(lit(1)).as("n_comments_total"))
+    prs.join(agg, Seq("pr_id"), "left")
+      .select(col("pr_id"),
+        concat(lit("PR #"), col("pr_id").cast("string")).as("pr_title"),
+        concat(lit("Proposed by "), col("s_name")).as("pr_body"),
+        (col("pr_id") % 4 === 0).cast("long").as("pr_open"),
+        col("merged_by"),
+        coalesce(col("n_comments_total"), lit(0L)).as("n_comments_total"),
+        coalesce(size(col("comments")), lit(0)).cast("long").as("n_comments_kept"),
+        coalesce(md5(to_json(col("comments"))), lit("")).as("comments_hash"))
+  }
+
   /** Vector property on nodes (reference docstring_embedding,
     * hierarchical_graph.py:242-257): the node table left-joined to the
     * embeddings side table on the deterministic vec_id == node_id key.
@@ -708,6 +756,7 @@ object SparkEntry {
     "kg_cluster_nodes" -> (qClusterNodes _),
     "kg_cluster_edges" -> (qClusterEdges _),
     "kg_pr_edges" -> (qPrEdges _),
+    "kg_pr_nodes_rich" -> (qPrNodesRich _),
     "kg_nodes_vec" -> (qNodesVec _),
     "kg_issue_pr_edges" -> (qIssuePrEdges _),
     "kg_dev_nodes" -> (qDevNodes _),
@@ -1272,6 +1321,44 @@ object SparkEntry {
         |            ELSE CAST(s_suppkey * 37 % 1000 AS BIGINT) END AS merged_by
         |FROM supplier
         |JOIN nodes n ON 'supplier:'||s_name = n.canonical_name""".stripMargin),
+
+    "kg_pr_nodes_rich" ->
+      """WITH cm AS (
+        |  SELECT CAST(l_suppkey AS BIGINT) AS pr_id,
+        |         CAST(l_orderkey * 8 + l_linenumber AS BIGINT) AS cid,
+        |         CAST(l_orderkey AS BIGINT) AS ok
+        |  FROM lineitem
+        |),
+        |cm2 AS (
+        |  SELECT pr_id, cid,
+        |         'dev_'||CAST(cid % 25 AS VARCHAR) AS cuser,
+        |         strftime(DATE '1995-01-01' + CAST(cid % 1000 AS INTEGER), '%Y-%m-%d') AS created_at,
+        |         'comment on order '||CAST(ok AS VARCHAR) AS body
+        |  FROM cm
+        |),
+        |rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY pr_id ORDER BY cid, body) AS r
+        |  FROM cm2
+        |),
+        |cj AS (
+        |  SELECT pr_id,
+        |         '['||string_agg('{"cid":'||cid||',"cuser":"'||cuser||'","created_at":"'||created_at||'","body":"'||body||'"}', ',' ORDER BY cid, body)||']' AS cjson,
+        |         CAST(count(*) AS BIGINT) AS n_kept
+        |  FROM rk WHERE r <= 3 GROUP BY pr_id
+        |),
+        |tot AS (SELECT pr_id, CAST(count(*) AS BIGINT) AS n_total FROM cm2 GROUP BY pr_id)
+        |SELECT CAST(s.s_suppkey AS BIGINT) AS pr_id,
+        |       'PR #'||CAST(s.s_suppkey AS VARCHAR) AS pr_title,
+        |       'Proposed by '||s.s_name AS pr_body,
+        |       CAST(CASE WHEN s.s_suppkey % 4 = 0 THEN 1 ELSE 0 END AS BIGINT) AS pr_open,
+        |       CASE WHEN s.s_suppkey % 5 = 0 THEN NULL
+        |            ELSE CAST(s.s_suppkey * 37 % 1000 AS BIGINT) END AS merged_by,
+        |       coalesce(tot.n_total, 0) AS n_comments_total,
+        |       coalesce(cj.n_kept, 0) AS n_comments_kept,
+        |       CASE WHEN cj.cjson IS NULL THEN '' ELSE md5(cj.cjson) END AS comments_hash
+        |FROM supplier s
+        |LEFT JOIN cj ON cj.pr_id = s.s_suppkey
+        |LEFT JOIN tot ON tot.pr_id = s.s_suppkey""".stripMargin,
 
     "kg_issue_pr_edges" -> withBase(
       """, refs AS (SELECT conv_id, CAST(2*k AS BIGINT) AS turn_idx,

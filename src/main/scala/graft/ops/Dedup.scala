@@ -161,16 +161,43 @@ object Dedup {
     * 100 TB-safe. The default threshold 1/2 is decided on integers in the
     * oracle (3·inter >= |A|+|B|), so engines agree exactly. */
   def dupClusters(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", threshold: Double = 0.5): DataFrame = {
-    val pairs = verifyJaccard(docs,
+      textCol: String = "text", threshold: Double = 0.5): DataFrame =
+    collapsePairs(docs, verifiedPairs(docs, idCol, textCol, threshold), idCol)
+
+  /** The verified near-dup pair set (a, b, jaccard): minhash -> LSH
+    * candidates -> exact-Jaccard verification — the expensive 3-stage
+    * derivation in front of any collapse/sampling consumer. */
+  def verifiedPairs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", threshold: Double = 0.5): DataFrame =
+    verifyJaccard(docs,
       candidatePairs(minhashBuckets(docs, idCol, textCol), idCol),
       threshold, idCol, textCol)
+
+  /** CC collapse of a verified pair set into dup_group + keep. */
+  private def collapsePairs(docs: DataFrame, pairs: DataFrame,
+      idCol: String): DataFrame = {
     val comp = graft.canonical.ConnectedComponents.runWithNodes(
       docs.select(col(idCol).cast("long").as("id")),
       pairs.select(col("a").cast("long").as("src"),
         col("b").cast("long").as("dst")))
     comp.select(col("id").as(idCol), col("component").as("dup_group"),
       (col("id") === col("component")).cast("long").as("keep"))
+  }
+
+  /** [[dupClusters]] with the verified pair set routed through a
+    * committed stage table keyed by the corpus dir (VERDICT r04 #5 —
+    * the same move node_clusters made for Lloyd): the
+    * minhash -> candidates -> verify derivation runs ONCE per corpus;
+    * the CC collapse and any future consumer (a dup-aware sampler, a
+    * pair auditor) re-read the committed (a, b, jaccard) table. Warm
+    * invocations pay one small-table read + the CC rounds only. */
+  def dupClustersStaged(s: org.apache.spark.sql.SparkSession, dir: String,
+      threshold: Double = 0.5): DataFrame = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    val pairs = graft.graph.StageStore.getOrCreate(s, dir, "dup_pairs") {
+      verifiedPairs(docs, threshold = threshold)
+    }
+    collapsePairs(docs, pairs, "doc_id")
   }
 
   /** Train↔eval decontamination — the n-gram-overlap scrub every LLM
@@ -206,6 +233,24 @@ object Dedup {
       .join(graft.canonical.Joins.dim(evalSh), Seq("sh"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** [[decontaminate]] over normalization-for-hashing text (X6 composed
+    * in front of the 8-gram shingling): real decontamination pipelines
+    * match case/comment/whitespace-insensitively — a benchmark answer
+    * that survives into training data with only its casing or comments
+    * changed must still be flagged. The normalization is a pure per-row
+    * projection (regexp chain, no shuffle), so stream/batch parity is
+    * preserved: the train side can be a streaming frame exactly as in
+    * [[decontaminate]]. Strict sub-ngram semantics apply AFTER
+    * normalization (a doc whose normalized form drops below `ngram`
+    * words contributes nothing). */
+  def decontaminateNormalized(train: DataFrame, evalSet: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      ngram: Int = 8): DataFrame = {
+    def norm(df: DataFrame): DataFrame =
+      df.withColumn(textCol, TextOps.normalizeForHash(col(textCol)))
+    decontaminate(norm(train), norm(evalSet), idCol, textCol, ngram)
   }
 
   /** 16-bit SimHash from the top bit of 16 md5-hex positions per token

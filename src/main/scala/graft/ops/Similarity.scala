@@ -202,8 +202,13 @@ object Similarity {
     * the cap stays as the skew backstop (real corpora are not uniform). */
   def planesFor(n: Long, targetOccupancy: Int = 32, minPlanes: Int = 8): Int = {
     require(n >= 0 && targetOccupancy > 0)
-    val needed = math.ceil(
-      math.log(math.max(n, 1).toDouble / targetOccupancy) / math.log(2.0)).toInt
+    // exact integer form of ceil(log2(n / target)): smallest p with
+    // 2^p * target >= n, i.e. bit_length(ceilDiv(n, target) - 1). The
+    // float log form could land a last-ulp below/above an exact power of
+    // two and flip the count by one — this must agree bit-for-bit with
+    // the oracle's length(bin(...)) derivation, so no float ever enters.
+    val ceilDiv = (math.max(n, 1L) + targetOccupancy - 1L) / targetOccupancy
+    val needed = 64 - java.lang.Long.numberOfLeadingZeros(math.max(ceilDiv - 1L, 0L))
     math.max(minPlanes, needed)
   }
 

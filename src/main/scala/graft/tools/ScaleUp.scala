@@ -45,7 +45,17 @@ object ScaleUp {
           d.withColumn(k, (col(k) + lit(i * shift)).cast(df.schema(k).dataType)))
       }.reduce(_ unionByName _)
 
-    val orderShift = 10000000L // > max o_orderkey at any tested sf
+    // shift derived from the actual key range (+1): a fixed constant
+    // overlaps at sf >= 10 or when re-scaling an already-scaled dir, and
+    // overlapping shifts silently MERGE replicas into existing
+    // conversations instead of failing (VERDICT r04 advice) — same rule
+    // documents/embeddings already use (shift = exact count)
+    val orderShift = read("orders")
+      .agg(max(col("o_orderkey").cast("long"))).collect()(0).getLong(0) + 1L
+    // the replicate cast back to the source dtype must not wrap
+    require(read("orders").schema("o_orderkey").dataType.typeName == "long" ||
+      copies * orderShift <= Int.MaxValue,
+      s"ScaleUp: $copies x shift $orderShift overflows the 32-bit o_orderkey")
     write(replicate(read("orders"), Seq("o_orderkey"), orderShift), "orders")
     write(replicate(read("lineitem"), Seq("l_orderkey"), orderShift), "lineitem")
     for (t <- Seq("customer", "supplier", "part", "nation", "region", "events"))

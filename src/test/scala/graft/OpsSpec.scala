@@ -227,6 +227,11 @@ class OpsSpec extends SparkSpec {
     // never below the floor; above it, occupancy n / 2^planes <= target
     assert(Similarity.planesFor(100) === 8)
     assert(Similarity.planesFor(2000) === 8)
+    // exact power-of-two boundaries (the integer bit-length form must not
+    // drift by one where a float log2 could): 32 * 2^12 and +/-1
+    assert(Similarity.planesFor(32L * 4096L) === 12)
+    assert(Similarity.planesFor(32L * 4096L + 1) === 13)
+    assert(Similarity.planesFor(32L * 4096L - 1) === 12)
     for (n <- Seq(100000L, 10000000L, 1000000000L)) {
       val p = Similarity.planesFor(n)
       assert(n.toDouble / math.pow(2, p) <= 32.0, s"occupancy at n=$n planes=$p")
@@ -260,6 +265,33 @@ class OpsSpec extends SparkSpec {
     assert(sw.find(_._5 == 1L).get._1 === expected)
     // determinism: a second sweep returns identical rows
     assert(Clustering.kSweep(vecs, Seq(2, 4, 8)) === sw)
+  }
+
+  test("sampled k-sweep: full sweep within bounds, guarded + sampled above") {
+    import graft.ops.Clustering
+    val vecs = (0L until 32L).map { i =>
+      (i, (0 until 8).map(j => (((i % 4) * 29 + j * 13 + i) % 9 - 4).toFloat).toArray)
+    }.toDF("vec_id", "embedding")
+    // within the bound the sampled front-end is a no-op: identical rows
+    assert(Clustering.kSweepSampled(vecs, Seq(2, 4, 8)) ===
+      Clustering.kSweep(vecs, Seq(2, 4, 8)))
+    // the overflow guard fires loudly on an oversize corpus (synthetic
+    // tiny bound) instead of letting long sums wrap silently
+    val e = intercept[IllegalArgumentException] {
+      Clustering.kSweep(vecs, Seq(2, 4), maxVectors = Some(10L))
+    }
+    assert(e.getMessage.contains("overflow"))
+    // above the bound, kSweepSampled sweeps the deterministic sample:
+    // equal to sweeping the explicitly-sampled frame, seeds retained
+    val bound = 20L
+    val sampled = Clustering.sweepSample(vecs, kmax = 4, bound, n = 32L)
+    val kept = sampled.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(Seq(0L, 1L, 2L, 3L).forall(kept), "Lloyd seed window retained")
+    assert(kept.size <= bound, s"sample ${kept.size} exceeds bound $bound")
+    assert(Clustering.kSweepSampled(vecs, Seq(2, 4), Some(bound)) ===
+      Clustering.kSweep(sampled, Seq(2, 4), Some(bound)))
+    // the derived default bound is the exact long-headroom ceiling
+    assert(Clustering.sweepSafeBound(64) === Long.MaxValue / (64L * 4000000000000L))
   }
 
   test("silhouette is null-safe when every point collapses to one cluster") {
@@ -348,12 +380,31 @@ class OpsSpec extends SparkSpec {
     assert(uncapped.length === 1770)
   }
 
+  test("staged dup clusters: pair table committed once, collapse identical to direct") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val direct = Dedup.dupClusters(docs)
+    val staged = Dedup.dupClustersStaged(spark, dir)
+    assertSameRows(staged, direct)
+    // the verified (a, b, jaccard) set is a committed stage table — the
+    // expensive minhash->candidates->verify chain ran once; warm calls
+    // (and future consumers, e.g. a dup-aware sampler) read it back
+    val base = graft.graph.StageStore.baseFor(dir)
+    assert(new java.io.File(s"$base/dup_pairs").exists, "committed pair table")
+    assertSameRows(Dedup.dupClustersStaged(spark, dir), direct)
+  }
+
   test("repetition signals: duplicate words and a repeated bigram dominate") {
     val docs = Seq(
       (1L, "spam spam spam spam"),
-      (2L, "all words here are unique okay")).toDF("doc_id", "text")
+      (2L, "all words here are unique okay"),
+      (3L, "loneword")).toDF("doc_id", "text")
     val r = TextOps.repetition(docs).collect()
       .map(x => x.getLong(0) -> (x.getLong(2), x.getLong(3))).toMap
+    // strict bigrams: a sub-2-word doc has no bigram -> NO row (matching
+    // the oracle's shingle CTE + inner join), not a 1e6 fallback share
+    assert(!r.contains(3L))
+    assert(r.size === 2)
     // doc 1: 4 words, 1 distinct -> dup 750000; one bigram repeated 3x of 3 -> 1e6
     assert(r(1L) === ((750000L, 1000000L)))
     // doc 2: all distinct -> dup 0; 5 distinct bigrams -> top share 200000

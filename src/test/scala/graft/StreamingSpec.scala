@@ -69,6 +69,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("normalized decontamination: case/comment variants flag, stream matches batch") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // doc 2 is doc 1 re-cased on EVERY word plus a trailing comment: raw
+    // 8-grams differ everywhere, normalized 8-grams all collide
+    val docs = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "The Quick Brown Fox Jumps Over The Lazy Dog Near The River Bank # note"),
+      (3L, "completely different words about spark shuffle partitions and joins ok"))
+    val evalSet = docs.filter(_._1 == 100L).toDF("doc_id", "text")
+    val batch = graft.ops.Dedup.decontaminateNormalized(
+      docs.toDF("doc_id", "text"), evalSet)
+    val flagged = batch.collect().map(_.getLong(0)).toSet
+    assert(flagged.contains(2L), "re-cased+commented dup must be flagged")
+    assert(!flagged.contains(3L))
+    // raw decontamination misses the variant — normalization is the point
+    val raw = graft.ops.Dedup.decontaminate(docs.toDF("doc_id", "text"), evalSet)
+      .collect().map(_.getLong(0)).toSet
+    assert(!raw.contains(2L))
+    // stream/batch parity (normalization is a stateless projection)
+    val mem = MemoryStream[(Long, String)]
+    val stream = graft.ops.Dedup.decontaminateNormalized(
+      mem.toDF().toDF("doc_id", "text"), evalSet)
+    val q = stream.writeStream.format("memory").queryName("decontam_norm")
+      .outputMode("complete").start()
+    try {
+      mem.addData(docs: _*)
+      q.processAllAvailable()
+      assert(rowSet(spark.table("decontam_norm")) === rowSet(batch))
+    } finally q.stop()
+  }
+
   test("streaming exact dedup: duplicate texts are dropped within the watermark, state bounded") {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, String)]
