@@ -68,10 +68,14 @@ object OpsEntry {
     "emb_cluster_ensemble" -> ((s, dir) => Clustering.ensemble(emb(s, dir))),
 
     // k-selection sweep: Lloyd + integer SSE + simplified-silhouette
-    // components per k; chosen = silhouette argmax (the reference rule)
+    // components per k; chosen = silhouette argmax (the reference rule).
+    // Behind the deterministic sampling front-end: a corpus within the
+    // silhouette long-overflow bound (~36k vectors at 64 dims — every
+    // oracle sf) sweeps in FULL, identical to kSweep; above it (sf10+)
+    // the sweep runs on the hash-sample instead of wrapping silently
     "emb_k_sweep" -> ((s, dir) => {
       import s.implicits._
-      Clustering.kSweep(emb(s, dir))
+      Clustering.kSweepSampled(emb(s, dir))
         .toDF("k", "sse", "sil_num", "sil_den", "chosen")
     }),
 
@@ -152,6 +156,62 @@ object OpsEntry {
         .select(col("doc_id").cast("long").as("doc_id"), col("pred_lang"))
       Curation.stratifiedSample(lang, "pred_lang",
         Seq("en" -> "40", "und" -> "80"), "zz")
+    }),
+
+    // dedup -> sample: the canonical curation ORDER (sampling before
+    // dedup over-represents boilerplate cliques — every surviving
+    // replica gets its own draw). Canonical near-dup representatives
+    // (read through the committed dup_pairs stage table) are stratified
+    // by predicted language and hash-threshold sampled.
+    "doc_sample_dedup" -> ((s, dir) => {
+      val keep = Dedup.dupClustersStaged(s, dir)
+        .filter(col("keep") === 1).select(col("doc_id"))
+      val lang = TextOps.langId(docs(s, dir))
+        .select(col("doc_id").cast("long").as("doc_id"), col("pred_lang"))
+      Curation.stratifiedSample(lang.join(keep, Seq("doc_id")), "pred_lang",
+        Seq("en" -> "40", "und" -> "80"), "zz")
+    }),
+
+    // the end-to-end curation gate: one row per document with each
+    // filter family's verdict bit — exact-dup keeper, near-dup keeper,
+    // benchmark contamination, repetition gates, quality gate — and the
+    // composed `clean` decision. This is the table a training-data
+    // pipeline actually materializes before tokenization; every bit is
+    // an integer compare over already-oracle-exact columns.
+    "doc_clean_corpus" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val ids = d.select(col("doc_id").cast("long").as("doc_id"))
+      val exk = Dedup.exact(d)
+        .select(col("keep_id").as("doc_id"), lit(1L).as("exact_keep"))
+      val near = Dedup.dupClustersStaged(s, dir)
+        .select(col("doc_id"), col("keep").as("neardup_keep"))
+      val dec = Dedup.decontaminate(d, d.filter(col("doc_id") % 100 === 0))
+        .select(col("doc_id").cast("long").as("doc_id"),
+          lit(1L).as("contaminated"))
+      val rep = TextOps.repetition(d)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          (col("dup_word_ppm") < 500000 && col("top_bigram_ppm") < 500000)
+            .cast("long").as("repetition_ok"))
+      val qual = TextOps.qualityScore(d)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          (col("quality_ppm") >= 300000).cast("long").as("quality_ok"))
+      ids.join(exk, Seq("doc_id"), "left")
+        .join(near, Seq("doc_id"), "left")
+        .join(dec, Seq("doc_id"), "left")
+        .join(rep, Seq("doc_id"), "left")
+        .join(qual, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("exact_keep"), lit(0L)).as("exact_keep"),
+          col("neardup_keep"),
+          coalesce(col("contaminated"), lit(0L)).as("contaminated"),
+          // a doc with no bigram evidence passes the repetition gate
+          coalesce(col("repetition_ok"), lit(1L)).as("repetition_ok"),
+          coalesce(col("quality_ok"), lit(0L)).as("quality_ok"),
+          (col("neardup_keep") === 1 &&
+            coalesce(col("contaminated"), lit(0L)) === 0 &&
+            coalesce(col("repetition_ok"), lit(1L)) === 1 &&
+            coalesce(col("quality_ok"), lit(0L)) === 1)
+            .cast("long").as("clean"))
     }),
 
     // training-mix statistics: per-language doc/token counts + token
@@ -301,6 +361,35 @@ object OpsEntry {
       |  FROM documents)
       |)""".stripMargin
 
+  /** Quality-score oracle (shared: doc_quality + the clean-corpus
+    * gate). */
+  private lazy val qualityOracle: String =
+    s"""SELECT doc_id,
+      |  CAST(nw AS BIGINT) AS n_words,
+      |  CAST(round((CAST(length(text) AS DOUBLE) - (nw - 1)) / nw * 1000000) AS BIGINT) AS avg_word_len_ppm,
+      |  CAST(round(stopn / nw * 1000000) AS BIGINT) AS stopword_ppm,
+      |  CAST(round((least(nw / 100.0, 1.0) * 0.4 + (stopn / nw) * 0.3 +
+      |       least(((CAST(length(text) AS DOUBLE) - (nw - 1)) / nw) / 10.0, 1.0) * 0.3) * 1000000) AS BIGINT) AS quality_ppm
+      |FROM (
+      |  SELECT doc_id, text,
+      |         CAST(len(string_split(text,' ')) AS DOUBLE) AS nw,
+      |         CAST(len(list_filter(string_split(text,' '), x -> x IN (${dictSql("en")}))) AS DOUBLE) AS stopn
+      |  FROM documents)""".stripMargin
+
+  /** Repetition-gate oracle (shared: doc_repetition + the clean-corpus
+    * gate). */
+  private lazy val repetitionOracle: String =
+    s"""WITH ${shingleCte(2)},
+      |base AS (SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n,
+      |                CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS nd
+      |         FROM documents),
+      |cnt AS (SELECT doc_id, shingle, count(*) AS c FROM shf GROUP BY doc_id, shingle),
+      |top AS (SELECT doc_id, max(c) AS top_bg, sum(c) AS n_bg FROM cnt GROUP BY doc_id)
+      |SELECT base.doc_id, base.n AS n_words,
+      |       CAST(round(CAST(base.n - base.nd AS DOUBLE) / CAST(base.n AS DOUBLE) * 1e6) AS BIGINT) AS dup_word_ppm,
+      |       CAST(round(CAST(top.top_bg AS DOUBLE) / CAST(top.n_bg AS DOUBLE) * 1e6) AS BIGINT) AS top_bigram_ppm
+      |FROM base JOIN top USING(doc_id)""".stripMargin
+
   /** Brute-force cosine top-k oracle (shared: emb_ann_topk + the
     * recall evaluation). */
   private val annTopkOracle: String =
@@ -421,32 +510,11 @@ object OpsEntry {
         |       $langRatioSelects
         |FROM documents)""".stripMargin,
 
-    "doc_quality" ->
-      s"""SELECT doc_id,
-        |  CAST(nw AS BIGINT) AS n_words,
-        |  CAST(round((CAST(length(text) AS DOUBLE) - (nw - 1)) / nw * 1000000) AS BIGINT) AS avg_word_len_ppm,
-        |  CAST(round(stopn / nw * 1000000) AS BIGINT) AS stopword_ppm,
-        |  CAST(round((least(nw / 100.0, 1.0) * 0.4 + (stopn / nw) * 0.3 +
-        |       least(((CAST(length(text) AS DOUBLE) - (nw - 1)) / nw) / 10.0, 1.0) * 0.3) * 1000000) AS BIGINT) AS quality_ppm
-        |FROM (
-        |  SELECT doc_id, text,
-        |         CAST(len(string_split(text,' ')) AS DOUBLE) AS nw,
-        |         CAST(len(list_filter(string_split(text,' '), x -> x IN (${dictSql("en")}))) AS DOUBLE) AS stopn
-        |  FROM documents)""".stripMargin,
+    "doc_quality" -> qualityOracle,
 
     // repetition gates: bigram multiplicity via the window-lead shingle
     // CTE (no distinct — the mode needs counts)
-    "doc_repetition" ->
-      s"""WITH ${shingleCte(2)},
-        |base AS (SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n,
-        |                CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS nd
-        |         FROM documents),
-        |cnt AS (SELECT doc_id, shingle, count(*) AS c FROM shf GROUP BY doc_id, shingle),
-        |top AS (SELECT doc_id, max(c) AS top_bg, sum(c) AS n_bg FROM cnt GROUP BY doc_id)
-        |SELECT base.doc_id, base.n AS n_words,
-        |       CAST(round(CAST(base.n - base.nd AS DOUBLE) / CAST(base.n AS DOUBLE) * 1e6) AS BIGINT) AS dup_word_ppm,
-        |       CAST(round(CAST(top.top_bg AS DOUBLE) / CAST(top.n_bg AS DOUBLE) * 1e6) AS BIGINT) AS top_bigram_ppm
-        |FROM base JOIN top USING(doc_id)""".stripMargin,
+    "doc_repetition" -> repetitionOracle,
 
     "doc_tokens" ->
       """SELECT doc_id,
@@ -605,7 +673,20 @@ object OpsEntry {
     // above) -> integer-exact Jaccard >= 1/2 (3*inter >= |A|+|B|) ->
     // min-label reachability (same recursive pattern as the
     // kg_components oracle); singletons keep their own id
-    "doc_dup_clusters" ->
+    "doc_dup_clusters" -> dupClustersOracle,
+
+    // 8-gram decontamination: distinct-hit counts of training docs
+    // against the benchmark slice's shingle set
+    "doc_decontam" -> decontamOracle,
+  ) ++ oracleSqlTail
+
+  /** Near-dup cluster oracle (shared: doc_dup_clusters + the dedup-aware
+    * sampler + the clean-corpus gate). NOTE: mirrors the FULL-GRAPH
+    * chain (pairs among all docs); the engine's exact-dup pre-collapse
+    * provably yields identical clusters (see Dedup.dupClustersWithPairs)
+    * — at oracle scale no star-collapse cap engages, so the outputs are
+    * bit-identical. */
+  private lazy val dupClustersOracle: String =
       s"""WITH RECURSIVE ${shingleCte(3)},
         |m AS (SELECT doc_id, $minhashCols FROM shf GROUP BY doc_id),
         |bkt AS (SELECT doc_id, 0 AS band, md5(m0||m1) AS bucket FROM m
@@ -648,19 +729,22 @@ object OpsEntry {
         |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
         |       CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS dup_group,
         |       CAST(CASE WHEN coalesce(c.component, d.doc_id) = d.doc_id THEN 1 ELSE 0 END AS BIGINT) AS keep
-        |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id""".stripMargin,
+        |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id""".stripMargin
 
-    // 8-gram decontamination: distinct-hit counts of training docs
-    // against the benchmark slice's shingle set
-    "doc_decontam" ->
+  /** 8-gram decontamination oracle (shared: doc_decontam + the
+    * clean-corpus gate). */
+  private lazy val decontamOracle: String =
       s"""WITH ${shingleCte(8)},
         |tsh AS (SELECT DISTINCT doc_id, md5(shingle) AS sh FROM shf),
         |esh AS (SELECT DISTINCT sh FROM tsh WHERE doc_id % 100 = 0)
         |SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
         |       CAST(count(DISTINCT t.sh) AS BIGINT) AS n_hits
         |FROM tsh t JOIN esh USING(sh)
-        |GROUP BY t.doc_id""".stripMargin,
+        |GROUP BY t.doc_id""".stripMargin
 
+  /** Second half of [[oracleSql]] (split around the shared-oracle vals
+    * so each query's SQL stays next to its family). */
+  private def oracleSqlTail: Map[String, String] = Map(
     // normalized decontamination: the same 8-gram strict chain over
     // normalizeForHash-projected text (shingle CTE reads the `ndoc`
     // projection instead of raw documents)
@@ -693,6 +777,49 @@ object OpsEntry {
         |             substr(md5('smp|'||CAST(doc_id AS VARCHAR)),1,2) AS sample_key
         |      FROM lang)
         |WHERE sample_key < CASE pred_lang WHEN 'en' THEN '40' WHEN 'und' THEN '80' ELSE 'zz' END""".stripMargin,
+
+    // dedup -> stratified sample: the dup-cluster chain's keepers only
+    // (the committed-pair consumer), then the identical hash-threshold
+    // draw as doc_sample_strata
+    "doc_sample_dedup" ->
+      s"""WITH $langPredCte,
+        |dc AS (SELECT * FROM ($dupClustersOracle))
+        |SELECT CAST(s.doc_id AS BIGINT) AS doc_id, s.pred_lang, s.sample_key
+        |FROM (SELECT doc_id, pred_lang,
+        |             substr(md5('smp|'||CAST(doc_id AS VARCHAR)),1,2) AS sample_key
+        |      FROM lang) s
+        |JOIN dc ON dc.doc_id = s.doc_id AND dc.keep = 1
+        |WHERE s.sample_key < CASE s.pred_lang WHEN 'en' THEN '40' WHEN 'und' THEN '80' ELSE 'zz' END""".stripMargin,
+
+    // the composed curation gate: every bit re-derived from the shared
+    // family oracles (dup clusters / decontamination / repetition /
+    // quality) embedded as subqueries
+    "doc_clean_corpus" ->
+      s"""WITH dc AS (SELECT * FROM ($dupClustersOracle)),
+        |exk AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        |dec AS (SELECT doc_id FROM ($decontamOracle)),
+        |rp AS (SELECT doc_id,
+        |              CASE WHEN dup_word_ppm < 500000 AND top_bigram_ppm < 500000 THEN 1 ELSE 0 END AS rep_ok
+        |       FROM ($repetitionOracle)),
+        |qu AS (SELECT doc_id,
+        |              CASE WHEN quality_ppm >= 300000 THEN 1 ELSE 0 END AS q_ok
+        |       FROM ($qualityOracle))
+        |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+        |       CAST(CASE WHEN exk.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS exact_keep,
+        |       CAST(dc.keep AS BIGINT) AS neardup_keep,
+        |       CAST(CASE WHEN dec.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS contaminated,
+        |       CAST(coalesce(rp.rep_ok, 1) AS BIGINT) AS repetition_ok,
+        |       CAST(coalesce(qu.q_ok, 0) AS BIGINT) AS quality_ok,
+        |       CAST(CASE WHEN dc.keep = 1 AND dec.doc_id IS NULL
+        |                  AND coalesce(rp.rep_ok, 1) = 1
+        |                  AND coalesce(qu.q_ok, 0) = 1
+        |            THEN 1 ELSE 0 END AS BIGINT) AS clean
+        |FROM documents d
+        |LEFT JOIN dc ON dc.doc_id = d.doc_id
+        |LEFT JOIN exk ON exk.doc_id = d.doc_id
+        |LEFT JOIN dec ON dec.doc_id = d.doc_id
+        |LEFT JOIN rp ON rp.doc_id = d.doc_id
+        |LEFT JOIN qu ON qu.doc_id = d.doc_id""".stripMargin,
 
     "doc_mix_stats" ->
       s"""WITH $langPredCte,

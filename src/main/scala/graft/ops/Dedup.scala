@@ -162,7 +162,49 @@ object Dedup {
     * oracle (3·inter >= |A|+|B|), so engines agree exactly. */
   def dupClusters(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", threshold: Double = 0.5): DataFrame =
-    collapsePairs(docs, verifiedPairs(docs, idCol, textCol, threshold), idCol)
+    dupClustersWithPairs(docs, null, idCol, textCol, threshold)._2
+
+  /** [[dupClusters]] plus the representative-level verified pair frame it
+    * used (exposed so [[dupClustersStaged]] can commit exactly the pairs
+    * the collapse consumed). `stagedPairs` non-null short-circuits the
+    * pair derivation with a committed table.
+    *
+    * EXACT-DUP PRE-COLLAPSE (measured at sf10, BENCH §1e): identical
+    * texts — the dominant duplicate class in a web-scale corpus — first
+    * collapse to their min-id representative via the same md5 digest
+    * [[exact]] groups by; the minhash -> candidates -> verify chain then
+    * runs over DISTINCT TEXTS only. Without this, an exact-dup clique of
+    * size m sits in one LSH bucket and emits m²/2 candidate pairs per
+    * band UNDER the star-collapse cap (the cap only bites above
+    * maxBucket) — candidate volume grows quadratically in the
+    * duplication factor while the distinct-text count stays flat
+    * (doc_dup_clusters drew 247 s of its sf10 wall from intra-clique
+    * candidates). Results are IDENTICAL to the all-docs chain: an exact
+    * dup has Jaccard 1 with its representative, so jaccard(a, b) =
+    * jaccard(rep(a), rep(b)) and every pair decision — and therefore
+    * every connected component — is unchanged; members inherit their
+    * representative's component through the digest join, and the group
+    * minimum is always a representative (each rep is the min of its
+    * exact group). */
+  private[graft] def dupClustersWithPairs(docs: DataFrame, stagedPairs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      threshold: Double = 0.5): (DataFrame, DataFrame) = {
+    val withHash = docs.select(col(idCol), col(textCol), md5(col(textCol)).as("_h"))
+    val reps = withHash.groupBy(col("_h")).agg(min(col(idCol)).as("_rep"))
+    val repDocs = docs.join(
+      reps.select(col("_rep").as(idCol)), Seq(idCol))
+    val pairs = Option(stagedPairs)
+      .getOrElse(verifiedPairs(repDocs, idCol, textCol, threshold))
+    val comp = graft.canonical.ConnectedComponents.runWithNodes(
+      reps.select(col("_rep").cast("long").as("id")),
+      pairs.select(col("a").cast("long").as("src"),
+        col("b").cast("long").as("dst")))
+    val out = withHash.join(reps, Seq("_h"))
+      .join(comp, col("_rep").cast("long") === col("id"))
+      .select(col(idCol), col("component").as("dup_group"),
+        (col(idCol).cast("long") === col("component")).cast("long").as("keep"))
+    (pairs, out)
+  }
 
   /** The verified near-dup pair set (a, b, jaccard): minhash -> LSH
     * candidates -> exact-Jaccard verification — the expensive 3-stage
@@ -173,31 +215,22 @@ object Dedup {
       candidatePairs(minhashBuckets(docs, idCol, textCol), idCol),
       threshold, idCol, textCol)
 
-  /** CC collapse of a verified pair set into dup_group + keep. */
-  private def collapsePairs(docs: DataFrame, pairs: DataFrame,
-      idCol: String): DataFrame = {
-    val comp = graft.canonical.ConnectedComponents.runWithNodes(
-      docs.select(col(idCol).cast("long").as("id")),
-      pairs.select(col("a").cast("long").as("src"),
-        col("b").cast("long").as("dst")))
-    comp.select(col("id").as(idCol), col("component").as("dup_group"),
-      (col("id") === col("component")).cast("long").as("keep"))
-  }
-
   /** [[dupClusters]] with the verified pair set routed through a
     * committed stage table keyed by the corpus dir (VERDICT r04 #5 —
     * the same move node_clusters made for Lloyd): the
-    * minhash -> candidates -> verify derivation runs ONCE per corpus;
-    * the CC collapse and any future consumer (a dup-aware sampler, a
-    * pair auditor) re-read the committed (a, b, jaccard) table. Warm
-    * invocations pay one small-table read + the CC rounds only. */
+    * minhash -> candidates -> verify derivation (over exact-dup
+    * representatives — see [[dupClustersWithPairs]]) runs ONCE per
+    * corpus; the CC collapse and any future consumer (a dup-aware
+    * sampler, a pair auditor) re-read the committed (a, b, jaccard)
+    * table. Warm invocations pay one small-table read + the digest
+    * joins + CC rounds only. */
   def dupClustersStaged(s: org.apache.spark.sql.SparkSession, dir: String,
       threshold: Double = 0.5): DataFrame = {
     val docs = s.read.parquet(s"$dir/documents.parquet")
     val pairs = graft.graph.StageStore.getOrCreate(s, dir, "dup_pairs") {
-      verifiedPairs(docs, threshold = threshold)
+      dupClustersWithPairs(docs, null, threshold = threshold)._1
     }
-    collapsePairs(docs, pairs, "doc_id")
+    dupClustersWithPairs(docs, pairs, threshold = threshold)._2
   }
 
   /** Train↔eval decontamination — the n-gram-overlap scrub every LLM

@@ -105,6 +105,45 @@ class OpsSpec extends SparkSpec {
     assert(groups(7L).map(_._1).toSet === (1L to 120L).filter(_ % 7 == 0).toSet)
   }
 
+  test("exact-dup pre-collapse: identical clusters to the full-graph chain, fewer candidates") {
+    // exact clique (12 identical docs), a near-dup bridge ACROSS exact
+    // groups (3 and 13 identical; 23 one-word-off), and unique filler
+    val a = "the same boilerplate text repeated verbatim in every mirror copy"
+    val c1 = "alpha beta gamma delta epsilon zeta eta theta"
+    val c2 = "alpha beta gamma delta epsilon zeta eta iota"
+    val docs = (1L to 60L).map { i =>
+      val text =
+        if (i % 5 == 0) a
+        else if (i == 3 || i == 13) c1
+        else if (i == 23) c2
+        else s"unique text number $i with words ${i * 31 % 97} ${i * 17 % 89} tail"
+      (i, text)
+    }.toDF("doc_id", "text")
+    val now = Dedup.dupClusters(docs)
+    // the pre-collapse must not change ANY cluster decision: rebuild the
+    // pre-round-5 full-graph collapse (verified pairs among ALL docs)
+    val full = {
+      val pairs = Dedup.verifiedPairs(docs)
+      graft.canonical.ConnectedComponents.runWithNodes(
+        docs.select(col("doc_id").cast("long").as("id")),
+        pairs.select(col("a").cast("long").as("src"),
+          col("b").cast("long").as("dst")))
+        .select(col("id").as("doc_id"), col("component").as("dup_group"),
+          (col("id") === col("component")).cast("long").as("keep"))
+    }
+    assertSameRows(now, full)
+    // the near-dup bridge survives the collapse: 3, 13, 23 share a group
+    val g = now.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(g(3L) === g(13L) && g(13L) === g(23L))
+    // and the candidate work shrinks: pairs are generated among
+    // DISTINCT-TEXT representatives only (the exact clique contributes
+    // zero intra-clique pairs instead of m^2/2 per band)
+    val repPairs = Dedup.dupClustersWithPairs(docs, null)._1.count()
+    val allPairs = Dedup.verifiedPairs(docs).count()
+    assert(repPairs < allPairs,
+      s"rep-level pairs $repPairs must undercut full-graph pairs $allPairs")
+  }
+
   test("stratified sampling: deterministic hash threshold, per-stratum rates") {
     val rows = (1L to 200L).map(i => (i, if (i % 2 == 0) "en" else "de"))
       .toDF("doc_id", "pred_lang")
