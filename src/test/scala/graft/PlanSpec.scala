@@ -159,4 +159,36 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
       s"query side must broadcast:\n${p.take(1500)}")
   }
+
+  test("auto-plane cosine dedup: bucket blocking is an equi-join, never a cross product") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val p = plan(graft.ops.Similarity.cosineDupPairsAuto(e))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation must stay a bucket equi-join:\n${p.take(1500)}")
+  }
+
+  test("PR comments: ONE lineitem scan feeds the sliced collect_list (no self-union)") {
+    val p = plan(SparkEntry.queries("kg_pr_nodes_rich")(spark, sfDir))
+    val scans = "lineitem".r.findAllIn(p).size
+    // the comment struct reads lineitem exactly once; only file-path
+    // mentions of that single scan may repeat in the plan header
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      s"collect_list aggregate missing:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct"), "no cross product in the PR dim build")
+    assert(scans >= 1, s"expected a lineitem scan, plan:\n${p.take(600)}")
+  }
+
+  test("clean-corpus gate: no cross product, doc-keyed joins only") {
+    val p = plan(SparkEntry.queries("doc_clean_corpus")(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"every gate family must join on doc_id:\n${p.take(1500)}")
+  }
+
+  test("exact-dup pre-collapse keeps the digest groupBy map-side combinable") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val p = plan(graft.ops.Dedup.exact(docs))
+    assert(p.contains("HashAggregate"), s"digest dedup must hash-aggregate:\n${p.take(800)}")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "partial + final aggregate expected (map-side combine)")
+  }
 }
