@@ -214,6 +214,63 @@ object OpsEntry {
             .cast("long").as("clean"))
     }),
 
+    // n-gram novelty: the fraction of a doc's distinct 3-grams that
+    // appear in NO other document — the inter-document repetition signal
+    // (low novelty = boilerplate/template text) at shingle granularity.
+    // Strict shingles (docs under 3 words emit nothing, matching the
+    // oracle CTE); df per shingle is a map-side-combinable count over
+    // the per-doc-distinct explode, joined back size-gated.
+    "doc_ngram_novelty" -> ((s, dir) => {
+      val sh = docs(s, dir)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("text").as("_t"), split(col("text"), " ").as("_w"))
+        .filter(size(col("_w")) >= 3)
+        .select(col("doc_id"), explode(array_distinct(
+          Dedup.shinglesOfWords(col("_w"), col("_t"), 3))).as("_sg"))
+        .select(col("doc_id"), md5(col("_sg")).as("sh"))
+      val dfq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      sh.join(graft.canonical.Joins.dim(dfq), Seq("sh"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+        .select(col("doc_id"), col("n_shingles"), col("n_shared"),
+          round((col("n_shingles") - col("n_shared")).cast("double") /
+            col("n_shingles").cast("double") * 1e6).cast("long")
+            .as("novelty_ppm"))
+    }),
+
+    // per-source curation dashboard: doc/token counts, EXACT integer
+    // mean quality (floor division — no float mean crosses engines),
+    // and benchmark-contamination rate — the table that decides which
+    // crawl/source to keep
+    "doc_source_stats" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val base = d.select(col("doc_id").cast("long").as("doc_id"),
+        col("source"),
+        size(split(col("text"), " ")).cast("long").as("ws_tokens"))
+      val qual = TextOps.qualityScore(d)
+        .select(col("doc_id").cast("long").as("doc_id"), col("quality_ppm"))
+      val dec = Dedup.decontaminate(d, d.filter(col("doc_id") % 100 === 0))
+        .select(col("doc_id").cast("long").as("doc_id"), lit(1L).as("cont"))
+      base.join(qual, Seq("doc_id")).join(dec, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ws_tokens")).as("tokens"),
+          expr("sum(quality_ppm) div count(1)").as("mean_quality_ppm"),
+          round(sum(coalesce(col("cont"), lit(0L))).cast("double") /
+            count(lit(1)).cast("double") * 1e6).cast("long").as("contam_ppm"))
+    }),
+
+    // corpus length distribution by power-of-2 token bucket
+    // (bit_length via bin() — the same engine-exact quantization as the
+    // tf-idf idf); map-side combinable, one tiny aggregate
+    "doc_length_hist" -> ((s, dir) =>
+      docs(s, dir)
+        .select(size(split(col("text"), " ")).cast("long").as("t"))
+        .select(length(bin(col("t"))).cast("long").as("len_bucket"), col("t"))
+        .groupBy(col("len_bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("tokens"))),
+
     // training-mix statistics: per-language doc/token counts + token
     // share. ONE corpus scan: token counts ride the lang-ID projection
     // (`carry`) straight into the map-side-combinable aggregation — no
@@ -777,6 +834,43 @@ object OpsEntry {
         |             substr(md5('smp|'||CAST(doc_id AS VARCHAR)),1,2) AS sample_key
         |      FROM lang)
         |WHERE sample_key < CASE pred_lang WHEN 'en' THEN '40' WHEN 'und' THEN '80' ELSE 'zz' END""".stripMargin,
+
+    // n-gram novelty: distinct 3-gram df >= 2 marks a shared shingle
+    "doc_ngram_novelty" ->
+      s"""WITH ${shingleCte(3)},
+        |dsh AS (SELECT DISTINCT doc_id, md5(shingle) AS sh FROM shf),
+        |dfq AS (SELECT sh, count(*) AS df FROM dsh GROUP BY sh)
+        |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_shingles,
+        |       CAST(sum(CASE WHEN dfq.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+        |       CAST(round(CAST(count(*) - sum(CASE WHEN dfq.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) * 1e6) AS BIGINT) AS novelty_ppm
+        |FROM dsh d JOIN dfq USING(sh)
+        |GROUP BY d.doc_id""".stripMargin,
+
+    // per-source stats: exact floor-division mean quality + left-join
+    // contamination rate over the shared family oracles
+    "doc_source_stats" ->
+      s"""WITH qu AS (SELECT doc_id, quality_ppm FROM ($qualityOracle)),
+        |dec AS (SELECT doc_id FROM ($decontamOracle)),
+        |b AS (SELECT doc_id, source, CAST(len(string_split(text,' ')) AS BIGINT) AS ws_tokens
+        |      FROM documents)
+        |SELECT b.source,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(b.ws_tokens) AS BIGINT) AS tokens,
+        |       CAST(sum(qu.quality_ppm) // count(*) AS BIGINT) AS mean_quality_ppm,
+        |       CAST(round(CAST(sum(CASE WHEN dec.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) * 1e6) AS BIGINT) AS contam_ppm
+        |FROM b
+        |JOIN qu USING(doc_id)
+        |LEFT JOIN dec ON dec.doc_id = b.doc_id
+        |GROUP BY b.source""".stripMargin,
+
+    // power-of-2 token-length histogram (bit_length via bin())
+    "doc_length_hist" ->
+      """SELECT CAST(length(bin(t)) AS BIGINT) AS len_bucket,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(t) AS BIGINT) AS tokens
+        |FROM (SELECT CAST(len(string_split(text,' ')) AS BIGINT) AS t FROM documents)
+        |GROUP BY len_bucket""".stripMargin,
 
     // dedup -> stratified sample: the dup-cluster chain's keepers only
     // (the committed-pair consumer), then the identical hash-threshold

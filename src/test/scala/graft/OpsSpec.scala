@@ -144,6 +144,58 @@ class OpsSpec extends SparkSpec {
       s"rep-level pairs $repPairs must undercut full-graph pairs $allPairs")
   }
 
+  test("ngram novelty: boilerplate shingles shared, unique text fully novel") {
+    val shared = "alpha beta gamma delta epsilon"
+    val docs = Seq(
+      (1L, shared), (2L, shared),
+      (3L, "one two three four five six"),
+      (4L, "ab")).toDF("doc_id", "text")
+    val r = graft.OpsEntry.queries("doc_ngram_novelty")(spark,
+      writeDocs(docs)).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    // docs 1/2: all 3 shingles shared -> novelty 0
+    assert(r(1L) === ((3L, 3L, 0L)) && r(2L) === ((3L, 3L, 0L)))
+    // doc 3: 4 shingles, none shared -> novelty 1e6
+    assert(r(3L) === ((4L, 0L, 1000000L)))
+    // doc 4 (< 3 words): strict shingles -> no row
+    assert(!r.contains(4L))
+  }
+
+  test("length histogram: power-of-2 buckets, counts and token sums exact") {
+    val docs = Seq((1L, "a b c"), (2L, "a b c d"), (3L, "a")).toDF("doc_id", "text")
+    val r = graft.OpsEntry.queries("doc_length_hist")(spark, writeDocs(docs))
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    // 3 tokens -> bin("11") bucket 2; 4 -> bucket 3; 1 -> bucket 1
+    assert(r === Map(2L -> ((1L, 3L)), 3L -> ((1L, 4L)), 1L -> ((1L, 1L))))
+  }
+
+  /** Write a docs frame (with a deterministic source column) to a temp
+    * corpus dir so dir-keyed OpsEntry queries can run on fixtures. */
+  private def writeDocs(docs: org.apache.spark.sql.DataFrame): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_opsfix").toString
+    docs.withColumn("source",
+      concat(lit("src"), (col("doc_id") % 2).cast("string")))
+      .withColumn("lang", lit("en"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("source stats: exact floor-div mean quality, contamination rate per source") {
+    val d = (0L to 9L).map(i => (i, s"the a of and is in word$i tail$i"))
+      .toDF("doc_id", "text")
+    val dir = writeDocs(d)
+    val r = graft.OpsEntry.queries("doc_source_stats")(spark, dir).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))
+    assert(r.map(_._1).toSet === Set("src0", "src1"))
+    r.foreach { case (_, nDocs, tokens, _, _) =>
+      assert(nDocs === 5L && tokens === 40L)
+    }
+    // doc 0 (doc_id % 100 == 0) is the benchmark doc: 8-gram self-hit
+    // -> contaminated; it lands in src0 -> contam 1/5, src1 0
+    val contam = r.map(x => x._1 -> x._5).toMap
+    assert(contam("src0") === 200000L && contam("src1") === 0L)
+  }
+
   test("stratified sampling: deterministic hash threshold, per-stratum rates") {
     val rows = (1L to 200L).map(i => (i, if (i % 2 == 0) "en" else "de"))
       .toDF("doc_id", "pred_lang")
