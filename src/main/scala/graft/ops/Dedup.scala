@@ -225,13 +225,18 @@ object Dedup {
     * table. Warm invocations pay one small-table read + the digest
     * joins + CC rounds only. */
   def dupClustersStaged(s: org.apache.spark.sql.SparkSession, dir: String,
-      threshold: Double = 0.5): DataFrame = {
-    val docs = s.read.parquet(s"$dir/documents.parquet")
-    val pairs = graft.graph.StageStore.getOrCreate(s, dir, "dup_pairs") {
-      dupClustersWithPairs(docs, null, threshold = threshold)._1
+      threshold: Double = 0.5): DataFrame =
+    // two committed tables: dup_pairs is the CONSUMER surface (a
+    // dup-aware sampler / pair auditor reads verified (a, b, jaccard)
+    // rows), dup_clusters the collapse result — warm callers pay ONE
+    // table read, no digest re-derivation, no CC rounds
+    graft.graph.StageStore.getOrCreate(s, dir, "dup_clusters") {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val pairs = graft.graph.StageStore.getOrCreate(s, dir, "dup_pairs") {
+        dupClustersWithPairs(docs, null, threshold = threshold)._1
+      }
+      dupClustersWithPairs(docs, pairs, threshold = threshold)._2
     }
-    dupClustersWithPairs(docs, pairs, threshold = threshold)._2
-  }
 
   /** Train↔eval decontamination — the n-gram-overlap scrub every LLM
     * training pipeline runs before training (flag training docs sharing
