@@ -214,6 +214,23 @@ object OpsEntry {
             .cast("long").as("clean"))
     }),
 
+    // incremental near-dup probe: index the corpus once (minhash band
+    // buckets of its exact-dup representatives), then check an incoming
+    // batch against the index — O(batch + matches), never O(corpus).
+    // Benchmark split: doc_id % 10 == 7 plays the incoming batch.
+    "doc_dup_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val corpus = d.filter(col("doc_id") % 10 =!= 7)
+      val incoming = d.filter(col("doc_id") % 10 === 7)
+      val reps = corpus.select(col("doc_id"), md5(col("text")).as("_h"))
+        .groupBy(col("_h")).agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      val index = Dedup.minhashBuckets(corpus.join(reps, Seq("doc_id")))
+      Dedup.checkAgainstIndex(incoming, index, corpus)
+        .select(col("new_id").cast("long").as("new_id"),
+          col("corpus_id").cast("long").as("corpus_id"), col("jaccard_ppm"))
+    }),
+
     // n-gram novelty: the fraction of a doc's distinct 3-grams that
     // appear in NO other document — the inter-document repetition signal
     // (low novelty = boilerplate/template text) at shingle granularity.
@@ -834,6 +851,38 @@ object OpsEntry {
         |             substr(md5('smp|'||CAST(doc_id AS VARCHAR)),1,2) AS sample_key
         |      FROM lang)
         |WHERE sample_key < CASE pred_lang WHEN 'en' THEN '40' WHEN 'und' THEN '80' ELSE 'zz' END""".stripMargin,
+
+    // incremental probe: corpus-rep band buckets ⋈ incoming buckets ->
+    // distinct candidates -> integer-ppm Jaccard at >= 500000
+    "doc_dup_incremental" ->
+      s"""WITH ${shingleCte(3)},
+        |dsh AS (SELECT DISTINCT doc_id, shingle FROM shf),
+        |reps AS (SELECT min(doc_id) AS doc_id FROM documents
+        |         WHERE doc_id % 10 <> 7 GROUP BY md5(text)),
+        |m AS (SELECT doc_id, $minhashCols FROM shf GROUP BY doc_id),
+        |bkt AS (SELECT doc_id, 0 AS band, md5(m0||m1) AS bucket FROM m
+        |        UNION ALL SELECT doc_id, 1, md5(m2||m3) FROM m
+        |        UNION ALL SELECT doc_id, 2, md5(m4||m5) FROM m
+        |        UNION ALL SELECT doc_id, 3, md5(m6||m7) FROM m),
+        |ibkt AS (SELECT b.doc_id AS corpus_id, band, bucket
+        |         FROM bkt b JOIN reps ON b.doc_id = reps.doc_id),
+        |nbkt AS (SELECT doc_id AS new_id, band, bucket FROM bkt
+        |         WHERE doc_id % 10 = 7),
+        |cand AS (SELECT DISTINCT new_id, corpus_id FROM nbkt JOIN ibkt USING(band, bucket)),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM dsh GROUP BY doc_id),
+        |ins AS (SELECT c.new_id, c.corpus_id, count(*) AS i
+        |        FROM cand c
+        |        JOIN dsh p ON p.doc_id = c.new_id
+        |        JOIN dsh q ON q.doc_id = c.corpus_id AND q.shingle = p.shingle
+        |        GROUP BY c.new_id, c.corpus_id),
+        |scored AS (SELECT ins.new_id, ins.corpus_id,
+        |        CAST(round(CAST(i AS DOUBLE) / CAST(za.sz + zb.sz - i AS DOUBLE) * 1e6) AS BIGINT) AS jaccard_ppm
+        |        FROM ins
+        |        JOIN sz za ON za.doc_id = ins.new_id
+        |        JOIN sz zb ON zb.doc_id = ins.corpus_id)
+        |SELECT CAST(new_id AS BIGINT) AS new_id,
+        |       CAST(corpus_id AS BIGINT) AS corpus_id, jaccard_ppm
+        |FROM scored WHERE jaccard_ppm >= 500000""".stripMargin,
 
     // n-gram novelty: distinct 3-gram df >= 2 marks a shared shingle
     "doc_ngram_novelty" ->

@@ -273,6 +273,96 @@ object Dedup {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** Per-ROW minhash band buckets (no explode/groupBy): each row
+    * computes its own k signatures via the nested-HOF [[minhash]] —
+    * fine at per-row granularity (a handful of short arrays; the
+    * corpus-scale explode path is [[minhashBuckets]], bit-identical
+    * values) — then emits one row per band. Aggregation-free, so it
+    * runs UNCHANGED on a streaming frame in append mode (the property
+    * [[checkAgainstIndex]] needs: probing is a stateless projection +
+    * stream-static joins, no watermarked aggregation state). */
+  def rowBuckets(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", ngram: Int = 3, k: Int = 8,
+      rowsPerBand: Int = 2): DataFrame = {
+    val withSh = docs.select(col(idCol), col(textCol).as("_t"),
+      split(col(textCol), " ").as("_w"))
+      .select(col(idCol),
+        array_distinct(shinglesOfWords(col("_w"), col("_t"), ngram)).as("_sg"))
+    val sigs = (0 until k).map(s => minhash(col("_sg"), s).as(s"m$s"))
+    val withSig = withSh.select(col(idCol) +: sigs: _*)
+    val nBands = k / rowsPerBand
+    val bandStructs = (0 until nBands).map { b =>
+      val parts = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}"))
+      struct(lit(b).cast("long").as("band"), md5(concat(parts: _*)).as("bucket"))
+    }
+    withSig.select(col(idCol), inline(array(bandStructs: _*)))
+  }
+
+  /** Committed near-dup index of a corpus dir: the minhash band buckets
+    * of the corpus's exact-dup representatives (same pre-collapse as
+    * [[dupClustersWithPairs]] — identical texts index once). Index once,
+    * probe incrementally: the production shape for an append-heavy
+    * corpus, where re-running the full O(corpus) chain per ingest batch
+    * is the thing to avoid. */
+  def dupIndex(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    graft.graph.StageStore.getOrCreate(s, dir, "dup_index") {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val reps = docs.select(col("doc_id"), md5(col("text")).as("_h"))
+        .groupBy(col("_h")).agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      minhashBuckets(docs.join(reps, Seq("doc_id")))
+    }
+
+  /** Probe new documents against a committed corpus index: bucket
+    * equi-join -> distinct (new, corpus-rep) candidates -> exact
+    * integer-ppm Jaccard against the corpus texts. Cost is
+    * O(new batch + matched candidates), NEVER O(corpus): the corpus
+    * contributes only its committed index (size-gated dim join) and the
+    * texts of matched candidates. `newDocs` may be a STREAMING frame —
+    * [[rowBuckets]] is aggregation-free and both joins are
+    * stream-static, so the probe runs in append mode (StreamingSpec
+    * parity). Emits (new_id, corpus_id, jaccard_ppm) at
+    * jaccard_ppm >= minJaccardPpm (integer compare — engine-exact). */
+  def checkAgainstIndex(newDocs: DataFrame, index: DataFrame,
+      corpusDocs: DataFrame, minJaccardPpm: Long = 500000L,
+      idCol: String = "doc_id", textCol: String = "text",
+      ngram: Int = 3, k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    // the probe side derives ONCE (shingles carried through the band
+    // explode), so a streaming newDocs needs no second self-derivation
+    // — every join below is then stream-static
+    val withSh = newDocs.select(col(idCol).as("new_id"),
+      col(textCol).as("_t"), split(col(textCol), " ").as("_w"))
+      .select(col("new_id"),
+        array_distinct(shinglesOfWords(col("_w"), col("_t"), ngram)).as("_sgn"))
+    val sigs = (0 until k).map(s => minhash(col("_sgn"), s).as(s"m$s"))
+    val withSig = withSh.select(col("new_id") +: col("_sgn") +: sigs: _*)
+    val nBands = k / rowsPerBand
+    val bandStructs = (0 until nBands).map { b =>
+      val parts = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}"))
+      struct(lit(b).cast("long").as("band"), md5(concat(parts: _*)).as("bucket"))
+    }
+    val probe = withSig
+      .select(col("new_id"), col("_sgn"), inline(array(bandStructs: _*)))
+    val cand = probe
+      .join(graft.canonical.Joins.dim(
+        index.select(col(idCol).as("corpus_id"), col("band"), col("bucket"))),
+        Seq("band", "bucket"))
+      .select(col("new_id"), col("_sgn"), col("corpus_id"))
+      .dropDuplicates("new_id", "corpus_id")
+    val corpusSh = corpusDocs.select(col(idCol).as("corpus_id"),
+      col(textCol).as("_t"), split(col(textCol), " ").as("_w"))
+      .select(col("corpus_id"),
+        array_distinct(shinglesOfWords(col("_w"), col("_t"), ngram)).as("_sgc"))
+    cand
+      .join(corpusSh, Seq("corpus_id"))
+      .withColumn("_i", size(array_intersect(col("_sgn"), col("_sgc"))).cast("double"))
+      .withColumn("jaccard_ppm",
+        round(col("_i") / (size(col("_sgn")) + size(col("_sgc"))
+          - col("_i")).cast("double") * 1e6).cast("long"))
+      .filter(col("jaccard_ppm") >= minJaccardPpm)
+      .select(col("new_id"), col("corpus_id"), col("jaccard_ppm"))
+  }
+
   /** [[decontaminate]] over normalization-for-hashing text (X6 composed
     * in front of the 8-gram shingling): real decontamination pipelines
     * match case/comment/whitespace-insensitively — a benchmark answer

@@ -105,6 +105,39 @@ class OpsSpec extends SparkSpec {
     assert(groups(7L).map(_._1).toSet === (1L to 120L).filter(_ % 7 == 0).toSet)
   }
 
+  test("incremental near-dup probe: row buckets match the explode path; index finds dups, not strangers") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "totally different content about shuffle partitions and joins here"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text")
+    // per-row signatures are bit-identical to the corpus-scale explode path
+    assertSameRows(Dedup.rowBuckets(corpus), Dedup.minhashBuckets(corpus))
+    val reps = corpus.select(col("doc_id"), md5(col("text")).as("_h"))
+      .groupBy(col("_h")).agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val index = Dedup.minhashBuckets(corpus.join(reps, Seq("doc_id")))
+    val incoming = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta iota"),  // near-dup of 1
+      (101L, "alpha beta gamma delta epsilon zeta eta theta"), // exact dup of 1
+      (102L, "nothing in common with anything indexed at all ok")).toDF("doc_id", "text")
+    val got = Dedup.checkAgainstIndex(incoming, index, corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // matches point at the REPRESENTATIVE (doc 1, not its clone 3)
+    assert(got.keySet === Set((100L, 1L), (101L, 1L)))
+    assert(got((101L, 1L)) === 1000000L, "exact dup scores jaccard 1.0")
+    assert(got((100L, 1L)) >= 500000L && got((100L, 1L)) < 1000000L)
+  }
+
+  test("dupIndex is a committed stage table over exact-dup representatives") {
+    val dir = "/root/testdata/sf0.001"
+    val idx = Dedup.dupIndex(spark, dir)
+    assert(new java.io.File(
+      s"${graft.graph.StageStore.baseFor(dir)}/dup_index").exists)
+    // 4 bands per representative; representative set = distinct texts
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val nReps = docs.select(md5(col("text"))).distinct().count()
+    assert(idx.count() === nReps * 4)
+  }
+
   test("exact-dup pre-collapse: identical clusters to the full-graph chain, fewer candidates") {
     // exact clique (12 identical docs), a near-dup bridge ACROSS exact
     // groups (3 and 13 identical; 23 one-word-off), and unique filler

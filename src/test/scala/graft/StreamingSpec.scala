@@ -100,6 +100,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming incremental near-dup probe: append-mode stream matches batch") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "totally different content about shuffle partitions and joins here"))
+      .toDF("doc_id", "text")
+    val index = graft.ops.Dedup.minhashBuckets(corpus)
+    val incoming = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (102L, "nothing in common with anything indexed at all ok"))
+    val mem = MemoryStream[(Long, String)]
+    // aggregation-free probe: stateless per-row signatures + two
+    // stream-static joins -> runs in APPEND mode (no watermark state)
+    val stream = graft.ops.Dedup.checkAgainstIndex(
+      mem.toDF().toDF("doc_id", "text"), index, corpus)
+    val q = stream.writeStream.format("memory").queryName("dup_probe")
+      .outputMode("append").start()
+    try {
+      mem.addData(incoming: _*)
+      q.processAllAvailable()
+      val got = rowSet(spark.table("dup_probe"))
+      val want = rowSet(graft.ops.Dedup.checkAgainstIndex(
+        incoming.toDF("doc_id", "text"), index, corpus))
+      assert(got === want)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming exact dedup: duplicate texts are dropped within the watermark, state bounded") {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, String)]
