@@ -150,6 +150,18 @@ object OpsEntry {
     "doc_frame_sample" -> ((s, dir) =>
       Multimodal.sampleFrames(Multimodal.extract(s, docs(s, dir)))),
 
+    // REAL per-byte feature extraction (16-bucket nibble histogram) in
+    // the batched mapPartitions shape — exact long counts per bucket
+    "doc_media_features" -> ((s, dir) => {
+      val feats = Multimodal.byteHistogram(s, Multimodal.asBinary(docs(s, dir))).toDF()
+      feats.select(col("doc_id") +:
+        (0 until 16).map(i => element_at(col("f"), i + 1).as(s"h$i")): _*)
+    }),
+
+    // aspect-preserving integer resize plan off the decoded metadata
+    "doc_resize_plan" -> ((s, dir) =>
+      Multimodal.resizePlan(Multimodal.extract(s, docs(s, dir)))),
+
     // deterministic hash-threshold sampling stratified by predicted lang
     "doc_sample_strata" -> ((s, dir) => {
       val lang = TextOps.langId(docs(s, dir))
@@ -843,6 +855,35 @@ object OpsEntry {
         |SELECT doc_id, frames, stride,
         |       CAST(unnest(range(0, frames, stride)) AS BIGINT) AS frame_idx
         |FROM s""".stripMargin,
+
+    // per-byte nibble histogram: ascii(char) == utf-8 byte for this
+    // ASCII corpus, so char-position explode reproduces the byte loop
+    "doc_media_features" -> {
+      val sums = (0 until 16).map(i =>
+        s"CAST(sum(CASE WHEN bk = $i THEN 1 ELSE 0 END) AS BIGINT) AS h$i")
+        .mkString(",\n       ")
+      s"""WITH pos AS (SELECT doc_id, unnest(range(1, length(text)+1)) AS i, text
+        |             FROM documents),
+        |b AS (SELECT doc_id, ascii(substr(text, CAST(i AS INTEGER), 1)) // 16 AS bk
+        |      FROM pos)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |       $sums
+        |FROM b GROUP BY doc_id""".stripMargin
+    },
+
+    // integer aspect-fit resize plan over the stub metadata
+    "doc_resize_plan" ->
+      """WITH m AS (
+        |  SELECT doc_id, 64 + n % 576 AS width, 36 + (n * 7) % 324 AS height
+        |  FROM (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n FROM documents)
+        |)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |       CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height,
+        |       CAST(CASE WHEN width >= height THEN 224
+        |                 ELSE greatest(width * 224 // height, 1) END AS BIGINT) AS out_w,
+        |       CAST(CASE WHEN width >= height THEN greatest(height * 224 // width, 1)
+        |                 ELSE 224 END AS BIGINT) AS out_h
+        |FROM m WHERE width > 0 AND height > 0""".stripMargin,
 
     "doc_sample_strata" ->
       s"""WITH $langPredCte

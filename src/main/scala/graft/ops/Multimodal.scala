@@ -49,6 +49,41 @@ object Multimodal {
   def extract(spark: SparkSession, docs: DataFrame): DataFrame =
     decodeMeta(spark, asBinary(docs)).toDF()
 
+  case class MediaFeatures(doc_id: Long, f: Array[Long])
+
+  /** REAL per-byte feature extraction in the batched per-partition shape
+    * (the feature-extract step of the decode/extract/resize/sample
+    * quartet): a 16-bucket histogram over the raw payload bytes
+    * (bucket = high nibble). Unlike the stubbed decoder this does the
+    * actual byte work — the iterator-in/iterator-out pipeline Catalyst
+    * plans as one Deserialize→MapPartitions→Serialize stage, which is
+    * exactly where a codec/tensor kernel slots in at production. Counts
+    * are exact longs (oracle-reproducible: the payload is utf-8 of
+    * ASCII text, so byte values equal character codes). */
+  def byteHistogram(spark: SparkSession, binaryDocs: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    binaryDocs.as[BinaryDoc].mapPartitions(_.map { d =>
+      val h = new Array[Long](16)
+      d.payload.foreach(b => h((b & 0xFF) >> 4) += 1L)
+      MediaFeatures(d.doc_id, h)
+    })
+  }
+
+  /** Resize plan off the decoded metadata: fit into a `target` square
+    * preserving aspect ratio, ALL integer arithmetic (floor division —
+    * engine-exact; no float scale factor). Like [[sampleFrames]], the
+    * plan is computed before any pixel touches memory, so the expensive
+    * resample kernel sees exactly one (out_w, out_h) task per asset. */
+  def resizePlan(meta: DataFrame, target: Int = 224): DataFrame =
+    meta.filter(col("width") > 0 && col("height") > 0)
+      .select(col("doc_id"), col("width"), col("height"),
+        when(col("width") >= col("height"), lit(target.toLong))
+          .otherwise(greatest(expr(s"width * $target div height"), lit(1L)))
+          .as("out_w"),
+        when(col("width") >= col("height"),
+          greatest(expr(s"height * $target div width"), lit(1L)))
+          .otherwise(lit(target.toLong)).as("out_h"))
+
   /** Frame sampling: at most `maxFrames` frame indices per video via a
     * deterministic stride (ceil(frames/maxFrames)) — the work-reduction
     * step a video pipeline runs BEFORE per-frame decode/feature

@@ -564,6 +564,27 @@ class OpsSpec extends SparkSpec {
     assert(s(3L) === Seq(0L, 2L, 4L))       // 5 frames, stride ceil(5/4)=2
   }
 
+  test("byte histogram: exact nibble counts through the mapPartitions pipeline") {
+    val docs = Seq((1L, "aA0 ")).toDF("doc_id", "text")
+    val r = Multimodal.byteHistogram(spark, Multimodal.asBinary(docs))
+      .collect().head
+    // 'a'=0x61 -> bucket 6; 'A'=0x41 -> 4; '0'=0x30 -> 3; ' '=0x20 -> 2
+    assert(r.doc_id === 1L)
+    assert(r.f.toSeq === Seq(0L, 0L, 1L, 1L, 1L, 0L, 1L, 0L,
+      0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L))
+    assert(r.f.sum === 4L, "every byte lands in exactly one bucket")
+  }
+
+  test("resize plan: integer aspect fit, landscape and portrait") {
+    val meta = Seq((1L, 640L, 360L), (2L, 100L, 400L), (3L, 224L, 224L))
+      .toDF("doc_id", "width", "height")
+    val r = Multimodal.resizePlan(meta).collect()
+      .map(x => x.getLong(0) -> (x.getLong(3), x.getLong(4))).toMap
+    assert(r(1L) === ((224L, 126L)))  // 360*224/640 = 126 exactly
+    assert(r(2L) === ((56L, 224L)))   // 100*224/400 = 56
+    assert(r(3L) === ((224L, 224L)))
+  }
+
   test("multimodal stub decode: deterministic metadata from payload bytes") {
     val docs = Seq((7L, "abcd", "s")).toDF("doc_id", "text", "source")
     val m = Multimodal.extract(spark, docs).collect().head
