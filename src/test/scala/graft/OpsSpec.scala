@@ -127,6 +127,46 @@ class OpsSpec extends SparkSpec {
     assert(got((100L, 1L)) >= 500000L && got((100L, 1L)) < 1000000L)
   }
 
+  test("incremental probe properties on random corpora: exact dups found, every report verifies") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    def text() = Seq.fill(6 + rnd.nextInt(6))(
+      vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    for (iter <- 0 until 4) {
+      val corpusTexts = Seq.fill(15)(text())
+      val corpus = corpusTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val incoming = (0 until 8).map { j =>
+        (100L + j, if (j % 2 == 0) corpusTexts(rnd.nextInt(corpusTexts.size)) else text())
+      }
+      val corpusDf = corpus.toDF("doc_id", "text")
+      val reps = corpusDf.select(col("doc_id"), md5(col("text")).as("_h"))
+        .groupBy(col("_h")).agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+      val index = Dedup.minhashBuckets(corpusDf.join(reps, Seq("doc_id")))
+      val got = Dedup.checkAgainstIndex(incoming.toDF("doc_id", "text"),
+        index, corpusDf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      // exact copies MUST be found at ppm 1e6 against their text's rep
+      // (LSH can't miss an identical signature)
+      val textRep = corpus.groupBy(_._2).map { case (t, xs) => t -> xs.map(_._1).min }
+      for ((id, t) <- incoming if textRep.contains(t))
+        assert(got.exists(g => g._1 == id && g._2 == textRep(t) && g._3 == 1000000L),
+          s"exact dup $id not found at iter $iter")
+      // every reported pair re-verifies: recomputed shingle-set Jaccard
+      // equals the reported ppm and clears the threshold
+      def shSet(t: String) = {
+        val w = t.split(" "); (0 to w.length - 3).map(i => w.slice(i, i + 3).mkString(" ")).toSet
+      }
+      val textOf = (corpus ++ incoming).toMap
+      for ((n, c, ppm) <- got) {
+        val (a, b) = (shSet(textOf(n)), shSet(textOf(c)))
+        val j = a.intersect(b).size.toDouble / a.union(b).size
+        assert(math.round(j * 1e6) === ppm && ppm >= 500000L,
+          s"pair ($n,$c) ppm $ppm fails re-verification at iter $iter")
+      }
+    }
+  }
+
   test("dupIndex is a committed stage table over exact-dup representatives") {
     val dir = "/root/testdata/sf0.001"
     val idx = Dedup.dupIndex(spark, dir)
