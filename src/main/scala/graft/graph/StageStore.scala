@@ -91,13 +91,21 @@ object StageStore {
     val cached = stampCache.get(inputKey)
     if (cached != null) return cached
     try {
+      val rootF = new java.io.File(inputKey)
+      // an ABSENT path must take the nonce path, not the success path:
+      // walk() would otherwise stamp the constant "<path>:0:0," and
+      // memoize it — then a corpus appearing (or an NFS mount returning)
+      // later in the JVM could never change the stamp, the exact
+      // silent-stale-reuse mode the nonce exists to prevent
+      if (!rootF.exists())
+        throw new java.io.FileNotFoundException(inputKey)
       val sb = new StringBuilder
       def walk(f: java.io.File): Unit =
         if (f.isDirectory)
           f.listFiles().sortBy(_.getName).foreach(walk)
         else sb.append(f.getPath).append(':')
           .append(f.lastModified).append(':').append(f.length).append(',')
-      walk(new java.io.File(inputKey))
+      walk(rootF)
       val stamp = sb.toString
       // only SUCCESSFUL walks are memoized: pinning a failure nonce for
       // the JVM would silently reuse stage tables committed under it

@@ -180,8 +180,6 @@ object Clustering {
     * backed by a full distributed Lloyd + SSE + silhouette pass. */
   def kSweep(emb: DataFrame, ks: Seq[Int] = Seq(2, 4, 8, 16),
       maxVectors: Option[Long] = None): Seq[(Long, Long, Long, Long, Long)] = {
-    require(ks.nonEmpty && ks == ks.sorted && ks.distinct == ks && ks.head >= 2,
-      s"kSweep: ks must be non-empty, ascending, distinct, all >= 2 — got $ks")
     // ONE quantization pass + checkpoint shared by every k's Lloyd chain
     // and both scorings (values identical to per-k derivation)
     val q = quantized(emb).localCheckpoint()
@@ -189,7 +187,12 @@ object Clustering {
     // headroom was advisory only — an oversized corpus would wrap the
     // long sums SILENTLY and turn the chosen-k argmax into garbage.
     // Fail loudly instead; both counts scan the checkpointed q (cheap).
-    val n = q.count()
+    guardSweepBound(q, maxVectors, q.count())
+    kSweepOnQ(q, ks)
+  }
+
+  private def guardSweepBound(q: DataFrame, maxVectors: Option[Long],
+      n: Long): Unit = {
     require(n > 0, "kSweep: empty corpus")
     val dims = q.select(size(col("xq"))).head.getInt(0)
     val bound = maxVectors.getOrElse(sweepSafeBound(dims))
@@ -197,6 +200,13 @@ object Clustering {
       s"kSweep: $n vectors exceed the silhouette long-overflow headroom " +
         s"($bound at dims=$dims) — pre-sample with kSweepSampled (or " +
         "Curation.stratifiedSample) before sweeping")
+  }
+
+  /** Sweep core over an already-quantized-and-checkpointed, already
+    * bound-guarded frame. */
+  private def kSweepOnQ(q: DataFrame, ks: Seq[Int]): Seq[(Long, Long, Long, Long, Long)] = {
+    require(ks.nonEmpty && ks == ks.sorted && ks.distinct == ks && ks.head >= 2,
+      s"kSweep: ks must be non-empty, ascending, distinct, all >= 2 — got $ks")
     val rows = ks.map { k =>
       // ONE scoring pass per k: sse rides the silhouette's own-centroid
       // distances (scoreOnQ), so the sweep runs one centroid aggregation
@@ -234,10 +244,14 @@ object Clustering {
     * partitionings, cluster sizes, and reruns. */
   def sweepSample(emb: DataFrame, kmax: Int, bound: Long, n: Long): DataFrame = {
     val budget = math.max(1L, bound - kmax)
-    val t = math.max(1, ((0.9 * budget / n) * 65536).toInt)
+    // 32-bit threshold (8 hex chars): a 16-bit one floors the keep rate
+    // at 1/65536, which above ~2.4e9 vectors cannot express a fraction
+    // small enough to land under the bound — the exact at-scale case the
+    // sampler exists for (code-review r5). 32 bits reaches n ~ 1.5e14.
+    val t = math.max(1L, ((0.9 * budget / n) * 4294967296.0).toLong)
     emb.filter(col("vec_id") < kmax ||
-      substring(md5(concat(lit("swp|"), col("vec_id").cast("string"))), 1, 4)
-        < f"$t%04x")
+      substring(md5(concat(lit("swp|"), col("vec_id").cast("string"))), 1, 8)
+        < f"$t%08x")
   }
 
   /** [[kSweep]] behind the deterministic sampling front-end: a corpus
@@ -252,12 +266,21 @@ object Clustering {
   def kSweepSampled(emb: DataFrame, ks: Seq[Int] = Seq(2, 4, 8, 16),
       maxVectors: Option[Long] = None): Seq[(Long, Long, Long, Long, Long)] = {
     require(ks.nonEmpty, "kSweepSampled: ks must be non-empty")
-    val n = emb.count()
+    // quantize + checkpoint ONCE; the sample filter touches vec_id only,
+    // so it applies to the quantized frame directly — the previous
+    // sample-raw-then-kSweep shape paid a second full quantization pass
+    // and a second corpus count even when no sampling was needed
+    // (code-review r5)
+    val q = quantized(emb).localCheckpoint()
+    val n = q.count()
     require(n > 0, "kSweepSampled: empty corpus")
-    val dims = emb.select(size(col("embedding"))).head.getInt(0)
+    val dims = q.select(size(col("xq"))).head.getInt(0)
     val bound = maxVectors.getOrElse(sweepSafeBound(dims))
-    val in = if (n <= bound) emb else sweepSample(emb, ks.max, bound, n)
-    kSweep(in, ks, maxVectors)
+    val in = if (n <= bound) q else sweepSample(q, ks.max, bound, n)
+    val m = if (n <= bound) n else in.count()
+    require(m <= bound,
+      s"kSweepSampled: sample of $m vectors still exceeds the bound $bound")
+    kSweepOnQ(in, ks)
   }
 
   /** Greedy ensemble label alignment (the reference aligns the two label

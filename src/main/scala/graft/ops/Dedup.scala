@@ -53,9 +53,15 @@ object Dedup {
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
       ngram: Int, k: Int, prefix: String = "m"): DataFrame = {
     // words materialized as an attribute BEFORE the shingle lambda (see
-    // shinglesOfWords: a non-attribute subtree re-evaluates per element)
+    // shinglesOfWords: a non-attribute subtree re-evaluates per element).
+    // STRICT n-grams (the decontaminate/repetition rule, applied family-
+    // wide): a doc with fewer than `ngram` words has no n-gram and emits
+    // no signature — every shingle-CTE oracle already drops such docs,
+    // so the whole-text fallback was a latent cross-engine desync that
+    // only the corpus's word-count convention papered over
     val words = docs.select(col(idCol), col(textCol).as("_t"),
       split(col(textCol), " ").as("_w"))
+      .filter(size(col("_w")) >= ngram)
     val sh = words.select(col(idCol),
       explode(array_distinct(shinglesOfWords(col("_w"), col("_t"), ngram))).as("_sg"))
     val aggs = (0 until k).map(s =>
@@ -137,8 +143,12 @@ object Dedup {
     * similarity >= threshold. */
   def verifyJaccard(docs: DataFrame, pairs: DataFrame, threshold: Double,
       idCol: String = "doc_id", textCol: String = "text", ngram: Int = 3): DataFrame = {
+    // strict n-grams (see minhashSignatures) — a sub-ngram doc can never
+    // be a candidate (it has no signature), so the filter only keeps the
+    // verify side consistent with the generation side
     val withSh = docs
       .select(col(idCol), col(textCol).as("_t"), split(col(textCol), " ").as("_w"))
+      .filter(size(col("_w")) >= ngram)
       .select(col(idCol),
         array_distinct(shinglesOfWords(col("_w"), col("_t"), ngram)).as("sh"))
     pairs
@@ -225,18 +235,24 @@ object Dedup {
     * table. Warm invocations pay one small-table read + the digest
     * joins + CC rounds only. */
   def dupClustersStaged(s: org.apache.spark.sql.SparkSession, dir: String,
-      threshold: Double = 0.5): DataFrame =
+      threshold: Double = 0.5): DataFrame = {
+    // the threshold is part of the PAIR SEMANTICS, so it must be part of
+    // the stage identity: without the suffix, a 0.7-threshold caller
+    // after a 0.5 run would silently read 0.5-threshold clusters (and a
+    // first 0.7 run would poison the cache for every default caller)
+    val t = s"t${math.round(threshold * 1e6)}"
     // two committed tables: dup_pairs is the CONSUMER surface (a
     // dup-aware sampler / pair auditor reads verified (a, b, jaccard)
     // rows), dup_clusters the collapse result — warm callers pay ONE
     // table read, no digest re-derivation, no CC rounds
-    graft.graph.StageStore.getOrCreate(s, dir, "dup_clusters") {
+    graft.graph.StageStore.getOrCreate(s, dir, s"dup_clusters_$t") {
       val docs = s.read.parquet(s"$dir/documents.parquet")
-      val pairs = graft.graph.StageStore.getOrCreate(s, dir, "dup_pairs") {
+      val pairs = graft.graph.StageStore.getOrCreate(s, dir, s"dup_pairs_$t") {
         dupClustersWithPairs(docs, null, threshold = threshold)._1
       }
       dupClustersWithPairs(docs, pairs, threshold = threshold)._2
     }
+  }
 
   /** Train↔eval decontamination — the n-gram-overlap scrub every LLM
     * training pipeline runs before training (flag training docs sharing
@@ -284,8 +300,12 @@ object Dedup {
   def rowBuckets(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", ngram: Int = 3, k: Int = 8,
       rowsPerBand: Int = 2): DataFrame = {
+    // strict n-grams, matching minhashBuckets and every shingle oracle —
+    // on the streaming ingest path no corpus word-count convention
+    // protects the fallback, so strictness here is load-bearing
     val withSh = docs.select(col(idCol), col(textCol).as("_t"),
       split(col(textCol), " ").as("_w"))
+      .filter(size(col("_w")) >= ngram)
       .select(col(idCol),
         array_distinct(shinglesOfWords(col("_w"), col("_t"), ngram)).as("_sg"))
     val sigs = (0 until k).map(s => minhash(col("_sg"), s).as(s"m$s"))
@@ -332,6 +352,7 @@ object Dedup {
     // — every join below is then stream-static
     val withSh = newDocs.select(col(idCol).as("new_id"),
       col(textCol).as("_t"), split(col(textCol), " ").as("_w"))
+      .filter(size(col("_w")) >= ngram) // strict: see rowBuckets
       .select(col("new_id"),
         array_distinct(shinglesOfWords(col("_w"), col("_t"), ngram)).as("_sgn"))
     val sigs = (0 until k).map(s => minhash(col("_sgn"), s).as(s"m$s"))
@@ -351,6 +372,7 @@ object Dedup {
       .dropDuplicates("new_id", "corpus_id")
     val corpusSh = corpusDocs.select(col(idCol).as("corpus_id"),
       col(textCol).as("_t"), split(col(textCol), " ").as("_w"))
+      .filter(size(col("_w")) >= ngram)
       .select(col("corpus_id"),
         array_distinct(shinglesOfWords(col("_w"), col("_t"), ngram)).as("_sgc"))
     cand

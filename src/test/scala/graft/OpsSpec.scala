@@ -554,7 +554,8 @@ class OpsSpec extends SparkSpec {
     // expensive minhash->candidates->verify chain ran once; warm calls
     // (and future consumers, e.g. a dup-aware sampler) read it back
     val base = graft.graph.StageStore.baseFor(dir)
-    assert(new java.io.File(s"$base/dup_pairs").exists, "committed pair table")
+    assert(new java.io.File(s"$base/dup_pairs_t500000").exists,
+      "committed pair table (threshold folded into the stage identity)")
     assertSameRows(Dedup.dupClustersStaged(spark, dir), direct)
   }
 

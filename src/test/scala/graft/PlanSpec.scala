@@ -169,13 +169,15 @@ class PlanSpec extends SparkSpec {
 
   test("PR comments: ONE lineitem scan feeds the sliced collect_list (no self-union)") {
     val p = plan(SparkEntry.queries("kg_pr_nodes_rich")(spark, sfDir))
-    val scans = "lineitem".r.findAllIn(p).size
-    // the comment struct reads lineitem exactly once; only file-path
-    // mentions of that single scan may repeat in the plan header
+    // count SCAN NODES, not substring mentions (paths repeat in headers):
+    // a regression to a self-union would add a second FileScan node
+    val scanNodes = p.linesIterator.count(l =>
+      l.contains("FileScan") && l.contains("lineitem"))
+    assert(scanNodes === 1,
+      s"expected exactly one lineitem FileScan node, got $scanNodes:\n${p.take(1500)}")
     assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
       s"collect_list aggregate missing:\n${p.take(1200)}")
     assert(!p.contains("CartesianProduct"), "no cross product in the PR dim build")
-    assert(scans >= 1, s"expected a lineitem scan, plan:\n${p.take(600)}")
   }
 
   test("clean-corpus gate: no cross product, doc-keyed joins only") {
