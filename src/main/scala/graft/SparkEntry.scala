@@ -74,6 +74,22 @@ object SparkEntry {
       col("subj"), col("pred"), col("obj"))
   }
 
+  /** Per-conversation KG telemetry off the committed triples table: the
+    * graph-side analog of the corpus curation stats (which conversations
+    * are triple-dense / entity-diverse — the per-document fact table a
+    * KG-quality dashboard reads). Conv-keyed aggregate; the three
+    * count_distincts expand the shuffle 3x but stay keyed by conv_id
+    * with bounded per-conversation fan-in (turns per conv), so the plan
+    * is skew-free at any corpus size. */
+  private def qConvStats(s: SparkSession, dir: String): DataFrame =
+    graft.graph.Pipeline.triples(s, dir)
+      .groupBy(col("conv_id"))
+      .agg(count(lit(1)).as("n_triples"),
+        count_distinct(col("pred")).as("n_preds"),
+        count_distinct(col("subj")).as("n_subjects"),
+        count_distinct(col("obj")).as("n_objects"),
+        max(col("turn_idx")).cast("long").as("max_turn"))
+
   private def qNodes(s: SparkSession, dir: String): DataFrame =
     graft.graph.Pipeline.nodes(s, dir)
 
@@ -726,6 +742,7 @@ object SparkEntry {
     "kg_bindings" -> (qBindings _),
     "kg_resolved" -> (qResolved _),
     "kg_triples" -> (qTriples _),
+    "kg_conv_stats" -> (qConvStats _),
     "kg_nodes" -> (qNodes _),
     "kg_nodes_minted" -> (qNodesMinted _),
     "kg_edges" -> (qEdges _),
@@ -925,6 +942,15 @@ object SparkEntry {
 
     "kg_triples" -> withBase(
       "SELECT conv_id, turn_idx, mention_idx, subj, pred, obj FROM triples"),
+
+    "kg_conv_stats" -> withBase(
+      """SELECT conv_id,
+        |       CAST(count(*) AS BIGINT) AS n_triples,
+        |       CAST(count(DISTINCT pred) AS BIGINT) AS n_preds,
+        |       CAST(count(DISTINCT subj) AS BIGINT) AS n_subjects,
+        |       CAST(count(DISTINCT obj) AS BIGINT) AS n_objects,
+        |       CAST(max(turn_idx) AS BIGINT) AS max_turn
+        |FROM triples GROUP BY conv_id""".stripMargin),
 
     "kg_nodes" -> withBase(
       "SELECT node_type, node_id, canonical_name FROM nodes"),
