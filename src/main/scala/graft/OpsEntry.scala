@@ -15,6 +15,62 @@ object OpsEntry {
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  /** Committed 8-gram decontamination hit table (doc_id, n_hits) for the
+    * standard benchmark split (doc_id % 100 == 0): THREE queries consume
+    * this identical derivation (doc_decontam, doc_source_stats,
+    * doc_clean_corpus) and each used to re-shingle the full training
+    * corpus — two redundant corpus scans per pipeline run at 100 TB
+    * (VERDICT r05 #4; the dup_pairs/node_clusters StageStore move). */
+  private def decontamHits(s: SparkSession, dir: String): DataFrame =
+    graft.graph.StageStore.getOrCreate(s, dir, "decontam_hits") {
+      val d = docs(s, dir)
+      Dedup.decontaminate(d, d.filter(col("doc_id") % 100 === 0))
+        .select(col("doc_id").cast("long").as("doc_id"), col("n_hits"))
+    }
+
+  /** Committed single-Lloyd clustering (vec_id, cluster) — the SAME stage
+    * table SparkEntry.nodeClusters commits (identical name + identical
+    * build), so the kg_cluster_* consumers and the emb_* consumers share
+    * one Lloyd chain per corpus instead of re-running assignment + means
+    * + reassignment each. */
+  private def nodeClustersStage(s: SparkSession, dir: String): DataFrame =
+    graft.graph.StageStore.getOrCreate(s, dir, "node_clusters") {
+      Clustering.lloydStep(emb(s, dir))
+    }
+
+  /** Committed two-member ensemble co-assignment: member A is the
+    * committed node_clusters table (same seed window 0), member B the
+    * seed-8 Lloyd chain — consumed by BOTH emb_cluster_ensemble and
+    * emb_cluster_align, which each re-ran two full Lloyd chains before.
+    * Joined per vector exactly as Clustering.ensemble (both sides
+    * distinct per vec_id). */
+  private def ensembleStage(s: SparkSession, dir: String): DataFrame =
+    graft.graph.StageStore.getOrCreate(s, dir, "ensemble") {
+      val k = 8
+      val a = nodeClustersStage(s, dir).withColumnRenamed("cluster", "cluster_a")
+      val b = Clustering.lloydStep(emb(s, dir), k, seedFrom = k)
+        .withColumnRenamed("cluster", "cluster_b")
+      a.join(b, Seq("vec_id"))
+        .select(col("vec_id"), col("cluster_a"), col("cluster_b"),
+          (col("cluster_a") * k + col("cluster_b")).as("consensus_key"))
+    }
+
+  /** Committed brute-force cosine ground truth — consumed by emb_ann_topk
+    * AND the recall evaluation (which re-ran the full O(|Q| * N) scan). */
+  private def annTopkStage(s: SparkSession, dir: String): DataFrame =
+    graft.graph.StageStore.getOrCreate(s, dir, "ann_topk") {
+      Similarity.bruteForceTopK(emb(s, dir))
+    }
+
+  /** Committed IVF multi-probe result — consumed by emb_ivf_topk AND the
+    * recall evaluation. */
+  private def ivfTopkStage(s: SparkSession, dir: String): DataFrame =
+    graft.graph.StageStore.getOrCreate(s, dir, "ivf_topk") {
+      val e = emb(s, dir)
+      Similarity.ivfTopK(e, Similarity.ivfAssign(e, nCells = 16),
+        nQueries = 20, k = 10, nProbes = 2)
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_dedup_exact" -> ((s, dir) =>
       Dedup.exact(docs(s, dir)).select(
@@ -42,13 +98,18 @@ object OpsEntry {
 
     "doc_media_meta" -> ((s, dir) => Multimodal.extract(s, docs(s, dir))),
 
-    // normalization-for-hashing + sha-256 content digest (X6 + X7)
-    "doc_norm_hash" -> ((s, dir) => docs(s, dir).select(
-      col("doc_id"),
-      sha2(TextOps.normalizeForHash(col("text")), 256).as("norm_hash"),
-      length(TextOps.normalizeForHash(col("text"))).cast("long").as("norm_len"))),
+    // normalization-for-hashing + sha-256 content digest (X6 + X7).
+    // The normalized text is projected ONCE as a bound attribute and both
+    // outputs read it — hash and length can never re-run the regexp chain
+    // independently (guide §2.3 "project before"; codegen CSE made this
+    // implicit, the projection makes it structural).
+    "doc_norm_hash" -> ((s, dir) => docs(s, dir)
+      .select(col("doc_id"), TextOps.normalizeForHash(col("text")).as("_n"))
+      .select(col("doc_id"),
+        sha2(col("_n"), 256).as("norm_hash"),
+        length(col("_n")).cast("long").as("norm_len"))),
 
-    "emb_ann_topk" -> ((s, dir) => Similarity.bruteForceTopK(emb(s, dir))),
+    "emb_ann_topk" -> ((s, dir) => annTopkStage(s, dir)),
 
     "emb_lsh_buckets" -> ((s, dir) => Similarity.lshBuckets(emb(s, dir))),
 
@@ -63,9 +124,11 @@ object OpsEntry {
     "emb_cosine_dups_auto" -> ((s, dir) =>
       Similarity.cosineDupPairsAuto(emb(s, dir))),
 
-    "emb_clusters" -> ((s, dir) => Clustering.lloydStep(emb(s, dir))),
+    // reads the SAME committed Lloyd stage table the kg_cluster_*
+    // consumers share (one assignment chain per corpus, identical rows)
+    "emb_clusters" -> ((s, dir) => nodeClustersStage(s, dir)),
 
-    "emb_cluster_ensemble" -> ((s, dir) => Clustering.ensemble(emb(s, dir))),
+    "emb_cluster_ensemble" -> ((s, dir) => ensembleStage(s, dir)),
 
     // k-selection sweep: Lloyd + integer SSE + simplified-silhouette
     // components per k; chosen = silhouette argmax (the reference rule).
@@ -93,27 +156,25 @@ object OpsEntry {
         .select(col("vec_id").as("doc_id"), col("cluster"))),
 
     // greedy contingency-table alignment of the two ensemble label spaces
+    // (read from the committed ensemble stage — the k x k contingency
+    // collapse re-ran BOTH Lloyd chains per invocation before)
     "emb_cluster_align" -> ((s, dir) => {
       import s.implicits._
-      Clustering.alignEnsemble(Clustering.ensemble(emb(s, dir)))
+      Clustering.alignEnsemble(ensembleStage(s, dir))
         .toDF("cluster_b", "aligned_a", "n_overlap")
     }),
 
-    "emb_ivf_topk" -> ((s, dir) => {
-      val e = emb(s, dir)
-      Similarity.ivfTopK(e, Similarity.ivfAssign(e, nCells = 16),
-        nQueries = 20, k = 10, nProbes = 2)
-    }),
+    "emb_ivf_topk" -> ((s, dir) => ivfTopkStage(s, dir)),
 
     // ANN quality evaluation: per-query recall of the production IVF
     // config against the exact brute-force ground truth — the measurement
-    // a pipeline runs before trusting an approximate index
+    // a pipeline runs before trusting an approximate index. Both inputs
+    // are the committed stage tables (the recall join re-derived the full
+    // brute-force scan AND the IVF chain before).
     "emb_ivf_recall" -> ((s, dir) => {
-      val e = emb(s, dir)
-      val bf = Similarity.bruteForceTopK(e)
+      val bf = annTopkStage(s, dir)
         .select(col("query_id"), col("neighbor_id"))
-      val iv = Similarity.ivfTopK(e, Similarity.ivfAssign(e, nCells = 16),
-        nQueries = 20, k = 10, nProbes = 2)
+      val iv = ivfTopkStage(s, dir)
         .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
       bf.join(iv, Seq("query_id", "neighbor_id"), "left")
         .groupBy(col("query_id"))
@@ -131,11 +192,9 @@ object OpsEntry {
     "doc_dup_clusters" -> ((s, dir) => Dedup.dupClustersStaged(s, dir)),
 
     // train<->eval 8-gram decontamination; benchmark = doc_id % 100 == 0
-    "doc_decontam" -> ((s, dir) => {
-      val d = docs(s, dir)
-      Dedup.decontaminate(d, d.filter(col("doc_id") % 100 === 0))
-        .select(col("doc_id").cast("long").as("doc_id"), col("n_hits"))
-    }),
+    // (the committed hit table — shared with doc_source_stats and
+    // doc_clean_corpus, one shingle derivation per corpus)
+    "doc_decontam" -> ((s, dir) => decontamHits(s, dir)),
 
     // normalization-aware decontamination: case/comment/whitespace-
     // insensitive 8-gram matching (normalizeForHash composed in front
@@ -197,9 +256,8 @@ object OpsEntry {
         .select(col("keep_id").as("doc_id"), lit(1L).as("exact_keep"))
       val near = Dedup.dupClustersStaged(s, dir)
         .select(col("doc_id"), col("keep").as("neardup_keep"))
-      val dec = Dedup.decontaminate(d, d.filter(col("doc_id") % 100 === 0))
-        .select(col("doc_id").cast("long").as("doc_id"),
-          lit(1L).as("contaminated"))
+      val dec = decontamHits(s, dir)
+        .select(col("doc_id"), lit(1L).as("contaminated"))
       val rep = TextOps.repetition(d)
         .select(col("doc_id").cast("long").as("doc_id"),
           (col("dup_word_ppm") < 500000 && col("top_bigram_ppm") < 500000)
@@ -214,12 +272,17 @@ object OpsEntry {
         .join(qual, Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("exact_keep"), lit(0L)).as("exact_keep"),
-          col("neardup_keep"),
+          // today the staged cluster table covers every doc (singletons
+          // included), but the invariant is cross-module: defend locally
+          // like the other four families so a future clusters-only-
+          // non-singletons change can never turn `clean` null
+          // (VERDICT r05 #6)
+          coalesce(col("neardup_keep"), lit(1L)).as("neardup_keep"),
           coalesce(col("contaminated"), lit(0L)).as("contaminated"),
           // a doc with no bigram evidence passes the repetition gate
           coalesce(col("repetition_ok"), lit(1L)).as("repetition_ok"),
           coalesce(col("quality_ok"), lit(0L)).as("quality_ok"),
-          (col("neardup_keep") === 1 &&
+          (coalesce(col("neardup_keep"), lit(1L)) === 1 &&
             coalesce(col("contaminated"), lit(0L)) === 0 &&
             coalesce(col("repetition_ok"), lit(1L)) === 1 &&
             coalesce(col("quality_ok"), lit(0L)) === 1)
@@ -279,8 +342,8 @@ object OpsEntry {
         size(split(col("text"), " ")).cast("long").as("ws_tokens"))
       val qual = TextOps.qualityScore(d)
         .select(col("doc_id").cast("long").as("doc_id"), col("quality_ppm"))
-      val dec = Dedup.decontaminate(d, d.filter(col("doc_id") % 100 === 0))
-        .select(col("doc_id").cast("long").as("doc_id"), lit(1L).as("cont"))
+      val dec = decontamHits(s, dir)
+        .select(col("doc_id"), lit(1L).as("cont"))
       base.join(qual, Seq("doc_id")).join(dec, Seq("doc_id"), "left")
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),

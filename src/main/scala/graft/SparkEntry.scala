@@ -77,17 +77,20 @@ object SparkEntry {
   /** Per-conversation KG telemetry off the committed triples table: the
     * graph-side analog of the corpus curation stats (which conversations
     * are triple-dense / entity-diverse — the per-document fact table a
-    * KG-quality dashboard reads). Conv-keyed aggregate; the three
-    * count_distincts expand the shuffle 3x but stay keyed by conv_id
-    * with bounded per-conversation fan-in (turns per conv), so the plan
-    * is skew-free at any corpus size. */
+    * KG-quality dashboard reads). The three distinct counts are
+    * `size(collect_set(...))` — exactly count_distinct, but in ONE
+    * map-side-combinable aggregation over the raw rows instead of the
+    * multi-distinct Expand plan that shuffled every triple 4x (guide
+    * §2.3 shuffle fewer bytes; set state is bounded by the
+    * per-conversation fan-in, which is turns-per-conv — skew-free at any
+    * corpus size). */
   private def qConvStats(s: SparkSession, dir: String): DataFrame =
     graft.graph.Pipeline.triples(s, dir)
       .groupBy(col("conv_id"))
       .agg(count(lit(1)).as("n_triples"),
-        count_distinct(col("pred")).as("n_preds"),
-        count_distinct(col("subj")).as("n_subjects"),
-        count_distinct(col("obj")).as("n_objects"),
+        size(collect_set(col("pred"))).cast("long").as("n_preds"),
+        size(collect_set(col("subj"))).cast("long").as("n_subjects"),
+        size(collect_set(col("obj"))).cast("long").as("n_objects"),
         max(col("turn_idx")).cast("long").as("max_turn"))
 
   private def qNodes(s: SparkSession, dir: String): DataFrame =

@@ -56,12 +56,20 @@ object ConnectedComponents {
   /** Run to fixpoint (or maxIter). Returns (id, component). */
   def run(edges0: DataFrame, maxIter: Int = 25): DataFrame = {
     // normalize: undirected, no self-loops, min-first orientation
+    // LAZY localCheckpoints throughout the fixpoint: the signature
+    // aggregate right below is the round's one action and it scans every
+    // partition, so it both tests convergence AND materializes the
+    // checkpoint in the SAME job — the previous eager form paid two
+    // driver-synchronized jobs per round (checkpoint, then sig), doubling
+    // the per-round overhead that dominates CC wall time on small/medium
+    // graphs (guide §1.2: the per-round work here is tiny; the rounds'
+    // scheduling is the cost).
     var edges = edges0
       .select(least(col("src"), col("dst")).as("src"),
         greatest(col("src"), col("dst")).as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
     // fixpoint test on a cheap order-insensitive checksum + count; the
     // previous round's signature is carried forward (one aggregate per
     // round, not two). 64-bit xxhash64 keeps collision odds (a premature
@@ -76,7 +84,7 @@ object ConnectedComponents {
         .select(least(col("src"), col("dst")).as("src"),
           greatest(col("src"), col("dst")).as("dst"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(false)
       val nextSig = sig(next)
       converged = nextSig == prevSig
       prevSig = nextSig

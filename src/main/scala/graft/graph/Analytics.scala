@@ -36,13 +36,21 @@ object Analytics {
       .union(e.select(col("dst_id").as("node_id"))).distinct()
       .localCheckpoint()
     val outDeg = e.groupBy(col("src_id")).agg(count(lit(1)).as("deg"))
+    // loop-invariant work hoisted OUT of the iteration (guide §2.4): the
+    // out-degree join never changes across rounds, and a (src, dst) edge
+    // repeated m times contributes exactly m * floor(pr_src / deg) — so
+    // multiplicity pre-aggregates once and every round joins the smaller
+    // distinct-pair table instead of the raw multigraph. Values are
+    // bit-identical (m copies of the same floor term sum to m * term).
+    val em = e.groupBy(col("src_id"), col("dst_id")).agg(count(lit(1)).as("m"))
+      .join(outDeg, Seq("src_id"))
       .localCheckpoint()
     var pr = nodes.withColumn("pr", lit(1000000L))
     for (_ <- 1 to iters) {
-      val inflow = e
+      val inflow = em
         .join(pr.withColumnRenamed("node_id", "src_id"), Seq("src_id"))
-        .join(outDeg, Seq("src_id"))
-        .select(col("dst_id").as("node_id"), expr("pr div deg").as("c"))
+        .select(col("dst_id").as("node_id"),
+          (col("m") * expr("pr div deg")).as("c"))
         .groupBy(col("node_id")).agg(sum(col("c")).as("inflow"))
       pr = nodes.join(inflow, Seq("node_id"), "left")
         .select(col("node_id"),

@@ -145,27 +145,37 @@ object StageStore {
   }
 
   /** Per-partition lineage + stage metrics for a committed stage table.
-    * One metadata-cheap pass (count(1) by partition id reads zero data
-    * columns); partition rows are tiny, so they are collected once and
-    * both observability tables are written from local data. */
+    * ONE distributed pass: a rollup on spark_partition_id yields the
+    * per-partition counts (lineage) AND the grand-total row (metrics) in
+    * a single job — the previous shape re-read the table a second time
+    * just for the global approx_count_distinct (guide §1.2: don't compute
+    * things twice). The rollup's total grouping merges the same HLL
+    * sketches a direct global aggregate would, so the recorded
+    * approx_distinct_convs value is unchanged. */
   private def commitObservability(spark: SparkSession, base: String,
       stage: String, dir: String, wallMs: Long): Unit = {
     import spark.implicits._
-    val parts = io.read(spark, dir)
-      .groupBy(spark_partition_id().as("partition_id"))
-      .agg(count(lit(1)).as("output_rows"))
-      .collect().map(r => (stage, r.getInt(0), r.getLong(1), wallMs))
+    val out = io.read(spark, dir)
+    val hasConv = out.columns.contains("conv_id")
+    val aggCols = count(lit(1)).as("output_rows") +:
+      (if (hasConv) Seq(approx_count_distinct(col("conv_id")).as("_convs"))
+       else Nil)
+    val all = out
+      .select((col("*") +: Seq(spark_partition_id().as("partition_id"))): _*)
+      .rollup(col("partition_id"))
+      .agg(aggCols.head, aggCols.tail: _*)
+      .collect()
+    val (totals, perPid) = all.partition(_.isNullAt(0))
+    val parts = perPid.map(r => (stage, r.getInt(0), r.getLong(1), wallMs))
     io.append(parts.toSeq
       .toDF("stage", "partition_id", "output_rows", "wall_ms").coalesce(1),
       s"$base/_lineage")
     val rows = parts.map(_._3).sum
     // entity/conversation cardinality estimate (SURVEY §2.6: metrics use
     // approx_count_distinct — exact distinct would be a full shuffle)
-    val out = io.read(spark, dir)
     val approx =
-      if (out.columns.contains("conv_id"))
-        Seq((stage, "approx_distinct_convs",
-          out.agg(approx_count_distinct("conv_id")).collect()(0).getLong(0).toDouble))
+      if (hasConv)
+        Seq((stage, "approx_distinct_convs", totals.head.getLong(2).toDouble))
       else Nil
     val metrics = (Seq(
       (stage, "output_rows", rows.toDouble),

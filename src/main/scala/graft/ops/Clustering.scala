@@ -74,14 +74,16 @@ object Clustering {
     * core that lets [[kSweep]] pay the quantization pass once for the
     * whole sweep instead of once per k. */
   private def lloydOnQ(q: DataFrame, k: Int, iters: Int,
-      seedFrom: Int): DataFrame = {
+      seedFrom: Int, seedsChecked: Boolean = false): DataFrame = {
     require(iters >= 1, s"lloyd: iters must be >= 1, got $iters")
     val c0 = q.filter(col("vec_id") >= seedFrom && col("vec_id") < seedFrom + k)
       .select((col("vec_id") - seedFrom).as("cid"), col("xq").as("cq"))
-    val nSeeds = c0.count()
-    require(nSeeds == k,
-      s"lloyd: expected $k seed centroids (vec_id in [$seedFrom," +
-        s"${seedFrom + k})), found $nSeeds — vec_ids must be dense")
+    if (!seedsChecked) {
+      val nSeeds = c0.count()
+      require(nSeeds == k,
+        s"lloyd: expected $k seed centroids (vec_id in [$seedFrom," +
+          s"${seedFrom + k})), found $nSeeds — vec_ids must be dense")
+    }
     var a = assign(q, c0)
     for (_ <- 1 to iters) {
       // checkpoint only assignments that feed a NEXT round (truncates the
@@ -186,20 +188,33 @@ object Clustering {
     // overflow guard (VERDICT r04 advice): the documented silhouette
     // headroom was advisory only — an oversized corpus would wrap the
     // long sums SILENTLY and turn the chosen-k argmax into garbage.
-    // Fail loudly instead; both counts scan the checkpointed q (cheap).
-    guardSweepBound(q, maxVectors, q.count())
+    // Fail loudly instead; one aggregate over the checkpointed q.
+    guardSweepBound(sweepStats(q), maxVectors)
     kSweepOnQ(q, ks)
   }
 
-  private def guardSweepBound(q: DataFrame, maxVectors: Option[Long],
-      n: Long): Unit = {
+  /** (n, dims, maxAbsCoord) of a quantized frame in ONE aggregate job
+    * (the previous shape ran a count job + a head job; guide §1.2).
+    * dims is the MAX array length — on a ragged corpus the conservative
+    * choice for the overflow bound. */
+  private def sweepStats(q: DataFrame): (Long, Int, Long) = {
+    val r = q.agg(count(lit(1)),
+      coalesce(max(size(col("xq"))), lit(0)),
+      coalesce(max(aggregate(col("xq"), lit(0L),
+        (a, x) => greatest(a, abs(x)))), lit(0L))).head
+    (r.getLong(0), r.getInt(1), r.getLong(2))
+  }
+
+  private def guardSweepBound(stats: (Long, Int, Long),
+      maxVectors: Option[Long]): Long = {
+    val (n, dims, maxAbs) = stats
     require(n > 0, "kSweep: empty corpus")
-    val dims = q.select(size(col("xq"))).head.getInt(0)
-    val bound = maxVectors.getOrElse(sweepSafeBound(dims))
+    val bound = maxVectors.getOrElse(sweepSafeBoundAt(dims, maxAbs))
     require(n <= bound,
       s"kSweep: $n vectors exceed the silhouette long-overflow headroom " +
-        s"($bound at dims=$dims) — pre-sample with kSweepSampled (or " +
-        "Curation.stratifiedSample) before sweeping")
+        s"($bound at dims=$dims, max |coord| = $maxAbs) — pre-sample " +
+        "with kSweepSampled (or Curation.stratifiedSample) before sweeping")
+    bound
   }
 
   /** Sweep core over an already-quantized-and-checkpointed, already
@@ -207,11 +222,21 @@ object Clustering {
   private def kSweepOnQ(q: DataFrame, ks: Seq[Int]): Seq[(Long, Long, Long, Long, Long)] = {
     require(ks.nonEmpty && ks == ks.sorted && ks.distinct == ks && ks.head >= 2,
       s"kSweep: ks must be non-empty, ascending, distinct, all >= 2 — got $ks")
+    // ONE seed-density check for the whole sweep: ks.max distinct vec_ids
+    // in [0, ks.max) means every prefix [0, k) is dense, so each k's
+    // per-chain guard count can be skipped (4 driver-synchronized count
+    // jobs -> 1). A sparse window falls back to the per-k guard so the
+    // loud per-k error message is preserved.
+    val kmax = ks.max
+    val sr = q.filter(col("vec_id") >= 0 && col("vec_id") < kmax)
+      .agg(count(lit(1)), count_distinct(col("vec_id"))).head
+    val seedsDense = sr.getLong(0) == kmax && sr.getLong(1) == kmax
     val rows = ks.map { k =>
       // ONE scoring pass per k: sse rides the silhouette's own-centroid
       // distances (scoreOnQ), so the sweep runs one centroid aggregation
       // + one distance pass per k, not two of each
-      val a = lloydOnQ(q, k, iters = 1, seedFrom = 0).localCheckpoint()
+      val a = lloydOnQ(q, k, iters = 1, seedFrom = 0,
+        seedsChecked = seedsDense).localCheckpoint()
       val (sse, num, den) = scoreOnQ(q, a)
       (k.toLong, sse, num, den)
     }
@@ -232,6 +257,23 @@ object Clustering {
   def sweepSafeBound(dims: Int): Long = {
     require(dims > 0, s"sweepSafeBound: dims must be positive, got $dims")
     Long.MaxValue / (dims.toLong * 4000000000000L)
+  }
+
+  /** [[sweepSafeBound]] generalized to the OBSERVED max coordinate
+    * magnitude (ADVICE r05 #2: quantized() neither clamps nor validates
+    * the [-1e6, 1e6] assumption, so an over-unit corpus silently shrank
+    * the real headroom quadratically). A coordinate gap is at most
+    * 2 * maxAbs, so the per-point term is bounded by dims * (2*maxAbs)^2;
+    * for unit-scale corpora (maxAbs <= 1e6) this is EXACTLY
+    * [[sweepSafeBound]] — behavior unchanged — while an over-scale corpus
+    * now gets the provably safe tighter bound instead of a wrap. BigInt
+    * intermediate: (2*maxAbs)^2 itself overflows a long for maxAbs
+    * beyond ~1.5e9. */
+  def sweepSafeBoundAt(dims: Int, maxAbs: Long): Long = {
+    require(dims > 0, s"sweepSafeBoundAt: dims must be positive, got $dims")
+    val scale = math.max(maxAbs, 1000000L)
+    val perPoint = BigInt(dims) * (BigInt(2) * BigInt(scale)).pow(2)
+    (BigInt(Long.MaxValue) / perPoint).toLong
   }
 
   /** Deterministic sweep sample: every Lloyd seed (vec_id < kmax — the
@@ -270,12 +312,15 @@ object Clustering {
     // so it applies to the quantized frame directly — the previous
     // sample-raw-then-kSweep shape paid a second full quantization pass
     // and a second corpus count even when no sampling was needed
-    // (code-review r5)
+    // (code-review r5). Count, dims and the coordinate-scale guard ride
+    // ONE aggregate job (sweepStats).
     val q = quantized(emb).localCheckpoint()
-    val n = q.count()
+    val (n, dims, maxAbs) = sweepStats(q)
     require(n > 0, "kSweepSampled: empty corpus")
-    val dims = q.select(size(col("xq"))).head.getInt(0)
-    val bound = maxVectors.getOrElse(sweepSafeBound(dims))
+    // the default bound derives from the observed max coordinate (same
+    // rule as guardSweepBound; identical to sweepSafeBound for unit-scale
+    // corpora, so the at-scale sample is unchanged)
+    val bound = maxVectors.getOrElse(sweepSafeBoundAt(dims, maxAbs))
     val in = if (n <= bound) q else sweepSample(q, ks.max, bound, n)
     val m = if (n <= bound) n else in.count()
     require(m <= bound,

@@ -458,6 +458,26 @@ class OpsSpec extends SparkSpec {
     assert(Clustering.sweepSafeBound(64) === Long.MaxValue / (64L * 4000000000000L))
   }
 
+  test("sweep bound derives from the observed coordinate scale (ADVICE r05)") {
+    import graft.ops.Clustering
+    // unit-scale corpora keep the published bound exactly
+    assert(Clustering.sweepSafeBoundAt(64, 1000000L) === Clustering.sweepSafeBound(64))
+    assert(Clustering.sweepSafeBoundAt(64, 5L) === Clustering.sweepSafeBound(64))
+    // over-unit coordinates shrink the headroom quadratically (2*maxAbs)^2
+    assert(Clustering.sweepSafeBoundAt(8, 4000000L) ===
+      Long.MaxValue / (8L * 4L * 4000000L * 4000000L))
+    // a corpus whose coordinates blow the derived headroom fails loudly
+    // instead of wrapping the silhouette sums silently: |x| = 200 ->
+    // quantized 2e8 -> bound = Long.Max / (4 * (4e8)^2) = 14 < n = 40
+    val big = (0L until 40L).map(i =>
+      (i, Array.tabulate(4)(j => (200.0f + i + j)))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Clustering.kSweep(big, Seq(2, 4))
+    }
+    assert(e.getMessage.contains("long-overflow headroom"))
+    assert(e.getMessage.contains("max |coord|"))
+  }
+
   test("silhouette is null-safe when every point collapses to one cluster") {
     import graft.ops.Clustering
     val vecs = (0L until 6L).map(i => (i, Array.fill(4)(1.0f)))
