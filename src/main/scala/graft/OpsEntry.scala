@@ -55,21 +55,23 @@ object OpsEntry {
           (col("cluster_a") * k + col("cluster_b")).as("consensus_key"))
     }
 
-  /** Committed brute-force cosine ground truth — consumed by emb_ann_topk
-    * AND the recall evaluation (which re-ran the full O(|Q| * N) scan). */
-  private def annTopkStage(s: SparkSession, dir: String): DataFrame =
-    graft.graph.StageStore.getOrCreate(s, dir, "ann_topk") {
-      Similarity.bruteForceTopK(emb(s, dir))
-    }
+  /** Brute-force cosine ground truth (emb_ann_topk + the recall
+    * evaluation). Deliberately NOT a committed stage table: measured at
+    * sf0.1, the derivation (~1.3 s) is cheaper than a stage write +
+    * observability commit (~1.5-2 s), so staging was a net loss — the
+    * staging pattern only pays when derivation cost x consumers clearly
+    * exceeds the commit overhead (it does for dup_pairs, node_clusters,
+    * decontam_hits; it does not here). */
+  private def annTopk(s: SparkSession, dir: String): DataFrame =
+    Similarity.bruteForceTopK(emb(s, dir))
 
-  /** Committed IVF multi-probe result — consumed by emb_ivf_topk AND the
-    * recall evaluation. */
-  private def ivfTopkStage(s: SparkSession, dir: String): DataFrame =
-    graft.graph.StageStore.getOrCreate(s, dir, "ivf_topk") {
-      val e = emb(s, dir)
-      Similarity.ivfTopK(e, Similarity.ivfAssign(e, nCells = 16),
-        nQueries = 20, k = 10, nProbes = 2)
-    }
+  /** IVF multi-probe result (emb_ivf_topk + the recall evaluation); not
+    * staged for the same measured reason as [[annTopk]]. */
+  private def ivfTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.ivfTopK(e, Similarity.ivfAssign(e, nCells = 16),
+      nQueries = 20, k = 10, nProbes = 2)
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_dedup_exact" -> ((s, dir) =>
@@ -109,7 +111,7 @@ object OpsEntry {
         sha2(col("_n"), 256).as("norm_hash"),
         length(col("_n")).cast("long").as("norm_len"))),
 
-    "emb_ann_topk" -> ((s, dir) => annTopkStage(s, dir)),
+    "emb_ann_topk" -> ((s, dir) => annTopk(s, dir)),
 
     "emb_lsh_buckets" -> ((s, dir) => Similarity.lshBuckets(emb(s, dir))),
 
@@ -164,17 +166,15 @@ object OpsEntry {
         .toDF("cluster_b", "aligned_a", "n_overlap")
     }),
 
-    "emb_ivf_topk" -> ((s, dir) => ivfTopkStage(s, dir)),
+    "emb_ivf_topk" -> ((s, dir) => ivfTopk(s, dir)),
 
     // ANN quality evaluation: per-query recall of the production IVF
     // config against the exact brute-force ground truth — the measurement
-    // a pipeline runs before trusting an approximate index. Both inputs
-    // are the committed stage tables (the recall join re-derived the full
-    // brute-force scan AND the IVF chain before).
+    // a pipeline runs before trusting an approximate index.
     "emb_ivf_recall" -> ((s, dir) => {
-      val bf = annTopkStage(s, dir)
+      val bf = annTopk(s, dir)
         .select(col("query_id"), col("neighbor_id"))
-      val iv = ivfTopkStage(s, dir)
+      val iv = ivfTopk(s, dir)
         .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
       bf.join(iv, Seq("query_id", "neighbor_id"), "left")
         .groupBy(col("query_id"))

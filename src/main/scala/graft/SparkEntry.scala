@@ -146,17 +146,17 @@ object SparkEntry {
         .otherwise("narration").as("turn_class"))
 
   /** Identifier-split vocabulary (X5): canonical names broken into
-    * lowercase words (dots/snake/camel/ACRONYM), top-5 per node type. */
-  private def qNameWords(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("node_type").orderBy(col("n").desc, col("word"))
-    graft.graph.Pipeline.nodes(s, dir)
-      .select(col("node_type"),
-        explode(graft.ops.TextOps.identifierWords(col("canonical_name"))).as("word"))
-      .groupBy("node_type", "word").agg(count(lit(1)).as("n"))
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= 5)
-  }
+    * lowercase words (dots/snake/camel/ACRONYM), top-5 per node type —
+    * through the size-gated TopK helper, so a corpus-scale word
+    * vocabulary never sorts one node_type's full word set on a single
+    * window task (VERDICT r05 #7). */
+  private def qNameWords(s: SparkSession, dir: String): DataFrame =
+    graft.canonical.TopK.perGroup(
+      graft.graph.Pipeline.nodes(s, dir)
+        .select(col("node_type"),
+          explode(graft.ops.TextOps.identifierWords(col("canonical_name"))).as("word"))
+        .groupBy("node_type", "word").agg(count(lit(1)).as("n")),
+      Seq("node_type"), Seq(col("n").desc, col("word")), 5, "rk")
 
   private def qHierarchyNodes(s: SparkSession, dir: String): DataFrame =
     graft.graph.Pipeline.hierNodes(s, dir)

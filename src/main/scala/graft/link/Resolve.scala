@@ -43,13 +43,15 @@ object Resolve {
   /** Resolve subj/obj of every relation mention. Output:
     * conv_id, turn_idx, mention_idx, subj, pred, obj, ts (resolved).
     *
-    * `self` and aliases ride the same event stream: entity_def mentions
-    * emit a binding event for the pseudo-ref "self"; self resolves to the
-    * FIRST definition at or before the use site (the enclosing-scope
-    * semantics — a def always precedes its uses in the reference's walk),
-    * aliases to the LATEST binding (shadowing). A use before any binding
-    * falls back to identity. This matches the streaming stateful resolver
-    * exactly, including out-of-grammar shapes like self-before-any-def. */
+    * `self` resolves to the FIRST definition at or before the use site
+    * (the enclosing-scope semantics — a def always precedes its uses in
+    * the reference's walk): a per-conversation min aggregate + position
+    * compare, NOT a window. Aliases resolve to the LATEST binding at or
+    * before the use site (shadowing) via the as-of window. A use before
+    * any binding falls back to identity. This matches the streaming
+    * stateful resolver exactly, including out-of-grammar shapes like
+    * self-before-any-def (the first def's position then exceeds the use
+    * position and the compare yields identity). */
   def resolved(mentions: DataFrame): DataFrame = {
     val rels = mentions.filter(col("kind") === "relation")
 
@@ -61,19 +63,49 @@ object Resolve {
         lit("s").as("side"), col("subj").as("ref"))
       .unionByName(rels.select(col("conv_id"), col("turn_idx"),
         col("mention_idx"), col("hop"), lit("o").as("side"), col("obj").as("ref")))
-      .filter(col("ref").rlike(aliasPat) || col("ref") === "self")
 
-    val selfBindings = mentions
-      .filter(col("kind") === "entity_def")
-      .select(col("conv_id"), lit("self").as("ref"), col("turn_idx"),
-        col("mention_idx"), lit(0).as("hop"), lit(null).cast("string").as("side"),
-        col("subj").as("target"))
+    // `self` = FIRST definition at or before the use site. "First at or
+    // before" of a per-conversation stream is a per-conversation MIN, not
+    // a window: aggregate the definitions to one (position, target) row
+    // per conversation (map-side combinable min(struct)), join the self
+    // uses against it, and compare positions — the def is in scope iff
+    // (def_turn, def_mention, 0) <= (turn, mention, hop), and def hop is
+    // always 0, so the tuple compare reduces to the two leading fields.
+    // This keeps both the definition events AND the self uses out of the
+    // alias as-of window below — at sf0.1 that halves the windowed event
+    // stream (4.9M -> 2.6M rows through the shuffle+sort; guide §2.3
+    // "aggregate before you shuffle"). Result is identical to the window
+    // form: first(target, ignoreNulls) over the ordered prefix is exactly
+    // the min-position def when that def precedes the use, else null.
+    val firstDef = mentions.filter(col("kind") === "entity_def")
+      .groupBy(col("conv_id"))
+      .agg(min(struct(col("turn_idx"), col("mention_idx"), col("subj")))
+        .as("_fd"))
+      .select(col("conv_id"), col("_fd.turn_idx").as("_dt"),
+        col("_fd.mention_idx").as("_dm"), col("_fd.subj").as("_dtarget"))
 
+    val selfUses = uses.filter(col("ref") === "self")
+    val aliasUses = uses.filter(col("ref").rlike(aliasPat))
+
+    // both sides conv-keyed and bounded per conversation — plain equi
+    // join, AQE picks broadcast while firstDef actually fits
+    val selfResolved = selfUses
+      .join(firstDef, Seq("conv_id"), "left")
+      .select(col("conv_id"), col("turn_idx"), col("mention_idx"), col("hop"),
+        col("side"),
+        coalesce(
+          when(col("_dt") < col("turn_idx") ||
+            (col("_dt") === col("turn_idx") && col("_dm") <= col("mention_idx")),
+            col("_dtarget")),
+          col("ref")).as("resolved_ref"))
+
+    // aliases keep the true as-of window (latest-binding-wins shadowing
+    // is order-dependent state), but the stream now carries ONLY alias
+    // events — binding emissions + alias uses
     val events = bindings(mentions)
       .select(col("conv_id"), col("ref"), col("turn_idx"), col("mention_idx"),
         lit(0).as("hop"), lit(null).cast("string").as("side"), col("target"))
-      .unionByName(selfBindings)
-      .unionByName(uses.select(col("conv_id"), col("ref"), col("turn_idx"),
+      .unionByName(aliasUses.select(col("conv_id"), col("ref"), col("turn_idx"),
         col("mention_idx"), col("hop"), col("side"),
         lit(null).cast("string").as("target")))
 
@@ -83,12 +115,11 @@ object Resolve {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val refResolved = events
-      .withColumn("in_scope",
-        when(col("ref") === "self", first("target", ignoreNulls = true).over(w))
-          .otherwise(last("target", ignoreNulls = true).over(w)))
+      .withColumn("in_scope", last("target", ignoreNulls = true).over(w))
       .filter(col("side").isNotNull) // keep use events only
       .select(col("conv_id"), col("turn_idx"), col("mention_idx"), col("hop"),
         col("side"), coalesce(col("in_scope"), col("ref")).as("resolved_ref"))
+      .unionByName(selfResolved)
 
     // pivot both sides into one row per mention key (each (key, side) is
     // unique, so min() just picks the value): ONE join back to the

@@ -94,11 +94,16 @@ object Dedup {
     * row per (doc, band). */
   def minhashBuckets(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", ngram: Int = 3, k: Int = 8,
-      rowsPerBand: Int = 2): DataFrame = {
-    val withSig = minhashSignatures(docs, idCol, textCol, ngram, k)
+      rowsPerBand: Int = 2): DataFrame =
+    bandsOf(minhashSignatures(docs, idCol, textCol, ngram, k), idCol, k,
+      rowsPerBand)
+
+  /** LSH band buckets of a signature frame (idCol, m0..m{k-1}) — one
+    * pass: a union of per-band selects would recompute the signature
+    * subtree once per band (same trap Transcripts.fromTpch avoids). */
+  private def bandsOf(withSig: DataFrame, idCol: String, k: Int,
+      rowsPerBand: Int): DataFrame = {
     val nBands = k / rowsPerBand
-    // one pass: a union of per-band selects would recompute the shingle +
-    // minhash subtree once per band (same trap Transcripts.fromTpch avoids)
     val bandStructs = (0 until nBands).map { b =>
       val parts = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}"))
       struct(lit(b).cast("long").as("band"), md5(concat(parts: _*)).as("bucket"))
@@ -195,11 +200,23 @@ object Dedup {
     * every connected component — is unchanged; members inherit their
     * representative's component through the digest join, and the group
     * minimum is always a representative (each rep is the min of its
-    * exact group). */
+    * exact group).
+    *
+    * STRICT sub-ngram docs stay singletons: a doc with fewer than 3
+    * words (the chain's ngram) has NO minhash signature, so the all-docs
+    * chain can never pair it — identical sub-ngram docs must each keep
+    * their own id (keep = 1, dup_group = own id), exactly as the
+    * full-graph oracle leaves them. The digest therefore only groups
+    * docs that CAN carry a signature; shorter docs get a per-doc unique
+    * key (ADVICE r05: the unconditional md5 grouped identical short
+    * docs under a min-id rep with keep = 0 — a latent cross-engine
+    * desync only the corpus's >= 10-word convention hid). */
   private[graft] def dupClustersWithPairs(docs: DataFrame, stagedPairs: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
       threshold: Double = 0.5): (DataFrame, DataFrame) = {
-    val withHash = docs.select(col(idCol), col(textCol), md5(col(textCol)).as("_h"))
+    val withHash = docs.select(col(idCol), col(textCol),
+      when(size(split(col(textCol), " ")) >= 3, md5(col(textCol)))
+        .otherwise(concat(lit("short|"), col(idCol).cast("string"))).as("_h"))
     val reps = withHash.groupBy(col("_h")).agg(min(col(idCol)).as("_rep"))
     val repDocs = docs.join(
       reps.select(col("_rep").as(idCol)), Seq(idCol))
@@ -218,12 +235,42 @@ object Dedup {
 
   /** The verified near-dup pair set (a, b, jaccard): minhash -> LSH
     * candidates -> exact-Jaccard verification — the expensive 3-stage
-    * derivation in front of any collapse/sampling consumer. */
+    * derivation in front of any collapse/sampling consumer.
+    *
+    * ONE shingle derivation (split + n-gram + distinct) feeds BOTH the
+    * signature chain and the Jaccard verification: the previous
+    * composition re-derived the per-doc shingle arrays inside
+    * verifyJaccard, and candidatePairs' two bucket consumers (size table
+    * + join-back) re-executed the whole signature chain a second time —
+    * three corpus text passes where one suffices (guide §1.2 "don't
+    * compute things twice"). The shingle-array and bucket frames are
+    * localCheckpointed (executor-local memory+disk); a production-scale
+    * deployment would commit them as stage tables instead. Values are
+    * bit-identical to the previous chain (same shingles, same seeded
+    * minima, same bands). */
   def verifiedPairs(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", threshold: Double = 0.5): DataFrame =
-    verifyJaccard(docs,
-      candidatePairs(minhashBuckets(docs, idCol, textCol), idCol),
-      threshold, idCol, textCol)
+      textCol: String = "text", threshold: Double = 0.5): DataFrame = {
+    val ngram = 3; val k = 8; val rowsPerBand = 2
+    val withSh = docs
+      .select(col(idCol), col(textCol).as("_t"), split(col(textCol), " ").as("_w"))
+      .filter(size(col("_w")) >= ngram)
+      .select(col(idCol),
+        array_distinct(shinglesOfWords(col("_w"), col("_t"), ngram)).as("sh"))
+      .localCheckpoint()
+    val sh = withSh.select(col(idCol), explode(col("sh")).as("_sg"))
+    val aggs = (0 until k).map(s =>
+      min(md5(concat(lit(s"$s|"), col("_sg")))).as(s"m$s"))
+    val withSig = sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val buckets = bandsOf(withSig, idCol, k, rowsPerBand).localCheckpoint()
+    candidatePairs(buckets, idCol)
+      .join(withSh.select(col(idCol).as("a"), col("sh").as("sha")), "a")
+      .join(withSh.select(col(idCol).as("b"), col("sh").as("shb")), "b")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("double"))
+      .withColumn("uni", (size(col("sha")) + size(col("shb")) - col("inter")).cast("double"))
+      .withColumn("jaccard", col("inter") / col("uni"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
 
   /** [[dupClusters]] with the verified pair set routed through a
     * committed stage table keyed by the corpus dir (VERDICT r04 #5 —
@@ -335,14 +382,22 @@ object Dedup {
 
   /** Probe new documents against a committed corpus index: bucket
     * equi-join -> distinct (new, corpus-rep) candidates -> exact
-    * integer-ppm Jaccard against the corpus texts. Cost is
+    * integer-ppm Jaccard against the corpus texts. Batch cost is
     * O(new batch + matched candidates), NEVER O(corpus): the corpus
-    * contributes only its committed index (size-gated dim join) and the
-    * texts of matched candidates. `newDocs` may be a STREAMING frame —
-    * [[rowBuckets]] is aggregation-free and both joins are
-    * stream-static, so the probe runs in append mode (StreamingSpec
-    * parity). Emits (new_id, corpus_id, jaccard_ppm) at
-    * jaccard_ppm >= minJaccardPpm (integer compare — engine-exact). */
+    * contributes only its committed index (size-gated dim join) and —
+    * via a left-semi join on the candidate ids BEFORE the shingle
+    * projection — the texts of matched candidates only (VERDICT r05 #1:
+    * the previous plan computed split + array_distinct for EVERY corpus
+    * document and relied on the join to discard non-candidates, which
+    * Catalyst cannot push below the projection). `newDocs` may be a
+    * STREAMING frame — [[rowBuckets]] is aggregation-free and the joins
+    * are stream-static, so the probe runs in append mode (StreamingSpec
+    * parity); the candidate semi-join is batch-only (a streaming
+    * candidate set cannot filter the static side mid-plan — the
+    * streaming-scale fix is committing per-rep shingle arrays next to
+    * the index, which this signature cannot see). Emits
+    * (new_id, corpus_id, jaccard_ppm) at jaccard_ppm >= minJaccardPpm
+    * (integer compare — engine-exact). */
   def checkAgainstIndex(newDocs: DataFrame, index: DataFrame,
       corpusDocs: DataFrame, minJaccardPpm: Long = 500000L,
       idCol: String = "doc_id", textCol: String = "text",
@@ -364,13 +419,27 @@ object Dedup {
     }
     val probe = withSig
       .select(col("new_id"), col("_sgn"), inline(array(bandStructs: _*)))
-    val cand = probe
+    val cand0 = probe
       .join(graft.canonical.Joins.dim(
         index.select(col(idCol).as("corpus_id"), col("band"), col("bucket"))),
         Seq("band", "bucket"))
       .select(col("new_id"), col("_sgn"), col("corpus_id"))
       .dropDuplicates("new_id", "corpus_id")
-    val corpusSh = corpusDocs.select(col(idCol).as("corpus_id"),
+    // batch: materialize the (small, O(matches)) candidate set once — it
+    // feeds BOTH the corpus pre-filter and the verify join, and without
+    // the checkpoint the whole probe derivation would execute twice
+    val cand =
+      if (newDocs.isStreaming) cand0 else cand0.localCheckpoint()
+    // batch: only candidate corpus docs are ever shingled (left_semi on
+    // the candidate ids BEFORE the projection — the candidate set is
+    // O(matches), so the filter side is size-gated broadcastable)
+    val corpusSrc =
+      if (newDocs.isStreaming) corpusDocs
+      else corpusDocs.join(
+        graft.canonical.Joins.dim(
+          cand.select(col("corpus_id").as(idCol)).distinct()),
+        Seq(idCol), "left_semi")
+    val corpusSh = corpusSrc.select(col(idCol).as("corpus_id"),
       col(textCol).as("_t"), split(col(textCol), " ").as("_w"))
       .filter(size(col("_w")) >= ngram)
       .select(col("corpus_id"),

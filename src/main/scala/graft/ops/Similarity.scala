@@ -26,7 +26,10 @@ object Similarity {
 
   /** Exact top-k cosine neighbors for queries (vec_id < nQueries).
     * The query side is tiny -> broadcast; the corpus side streams, so the
-    * plan is a single pass over N rows regardless of cluster size. */
+    * plan is a single pass over N rows regardless of cluster size. The
+    * top-k cut goes through the size-gated TopK helper: at corpus scale
+    * the per-query rank no longer funnels all N scored rows through one
+    * window task (VERDICT r05 #7). */
   def bruteForceTopK(emb: DataFrame, nQueries: Int = 20, k: Int = 10): DataFrame = {
     val q = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
@@ -35,11 +38,8 @@ object Similarity {
       .withColumn("cos_ppm",
         round(dot(col("qe"), col("embedding")) /
           (norm(col("qe")) * norm(col("embedding"))) * 1e6).cast("long"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos_ppm").desc, col("vec_id"))
-    joined
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+    graft.canonical.TopK.perGroup(joined, Seq("query_id"),
+      Seq(col("cos_ppm").desc, col("vec_id")), k, "rank")
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("cos_ppm"), col("rank"))
   }

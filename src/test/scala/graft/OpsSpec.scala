@@ -478,6 +478,26 @@ class OpsSpec extends SparkSpec {
     assert(e.getMessage.contains("max |coord|"))
   }
 
+  test("exact-dup pre-collapse leaves identical sub-ngram docs as singletons (ADVICE r05)") {
+    import graft.ops.Dedup
+    val docs = Seq(
+      (1L, "hi there"), (2L, "hi there"), // identical but < 3 words: no signature
+      (10L, "alpha beta gamma delta epsilon"),
+      (11L, "alpha beta gamma delta epsilon"), // identical, signature-bearing
+      (20L, "completely different content here now"))
+      .toDF("doc_id", "text")
+    val m = Dedup.dupClusters(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // sub-ngram docs can never pair in the full-graph chain (no minhash
+    // signature) -> each stays its own keeper, matching the oracle
+    assert(m(1L) === ((1L, 1L)))
+    assert(m(2L) === ((2L, 1L)))
+    // signature-bearing exact dups still collapse under the min-id rep
+    assert(m(10L) === ((10L, 1L)))
+    assert(m(11L) === ((10L, 0L)))
+    assert(m(20L) === ((20L, 1L)))
+  }
+
   test("silhouette is null-safe when every point collapses to one cluster") {
     import graft.ops.Clustering
     val vecs = (0L until 6L).map(i => (i, Array.fill(4)(1.0f)))
