@@ -170,9 +170,9 @@ object SparkEntry {
       col("conv_id"), long("turn_idx"), long("seg_idx"), col("kind"))
 
   private def qSegmentEdges(s: SparkSession, dir: String): DataFrame =
-    // NOT localCheckpointed: serializing ~1M rows row-by-row costs more
-    // than recomputing the codegen'd posexplode for the second consumer
-    // (measured 6.9s vs 5.4s at sf0.1)
+    // single derivation: segmentEdges now fetches the destination label
+    // via lead(kind) on the same window, so there is no second consumer
+    // of the posexplode (and nothing to checkpoint)
     Extract.segmentEdges(Extract.segmentNodes(transcriptsOf(s, dir)))
       .select(col("conv_id"), long("turn_idx"), long("src_seg"),
         long("dst_seg"), col("src_kind"), col("dst_kind"))

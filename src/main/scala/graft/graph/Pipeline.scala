@@ -137,18 +137,32 @@ object Pipeline {
       Versions.versionEdges(versionNodes(spark, sfDir))
     }
 
-  /** Run every stage to completion (idempotent / resumable), in dependency
-    * order so each stage's recorded wall time covers only its own work.
-    * Returns the number of emitted graph edges. */
+  /** Run every stage to completion (idempotent / resumable). The two
+    * branches downstream of `mentions` are independent — the resolve
+    * chain (resolved -> nodes -> triples -> minted -> edges) and the
+    * version chain (version_nodes -> version_edges) — so they run as
+    * concurrent jobs from two driver threads (guide §2.6 "overlap
+    * independent jobs"): the version chain's tasks back-fill executor
+    * cores left idle by the resolve chain's stage tails, instead of
+    * serializing ~3 s of version work after the edge count. Stage
+    * ordering WITHIN each branch is unchanged, so per-stage recorded
+    * walls still cover their own work (modulo shared-host concurrency,
+    * which the lineage rows disclose). Returns the emitted edge count. */
   def runAll(spark: SparkSession, sfDir: String): Long = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
     mentions(spark, sfDir)
+    val versionBranch = Future {
+      versionNodes(spark, sfDir)
+      versionEdges(spark, sfDir)
+    }
     resolved(spark, sfDir)
     nodes(spark, sfDir)
     triples(spark, sfDir)
     mintedNodes(spark, sfDir)
     val e = edges(spark, sfDir).count()
-    versionNodes(spark, sfDir)
-    versionEdges(spark, sfDir)
+    Await.result(versionBranch, Duration.Inf)
     e
   }
 

@@ -167,9 +167,6 @@ object StageStore {
       .collect()
     val (totals, perPid) = all.partition(_.isNullAt(0))
     val parts = perPid.map(r => (stage, r.getInt(0), r.getLong(1), wallMs))
-    io.append(parts.toSeq
-      .toDF("stage", "partition_id", "output_rows", "wall_ms").coalesce(1),
-      s"$base/_lineage")
     val rows = parts.map(_._3).sum
     // entity/conversation cardinality estimate (SURVEY §2.6: metrics use
     // approx_count_distinct — exact distinct would be a full shuffle)
@@ -183,8 +180,19 @@ object StageStore {
       (stage, "rows_per_sec", if (wallMs > 0) rows * 1000.0 / wallMs else 0.0))
       ++ approx)
       .toDF("stage", "name", "value")
-    io.append(metrics.coalesce(1), s"$base/_metrics")
+    // concurrent stage commits (Pipeline.runAll overlaps independent
+    // branches) must not append to the same directory at once: two
+    // concurrent append jobs share one _temporary staging dir and can
+    // clobber each other's task output — serialize the two tiny writes
+    obsLock.synchronized {
+      io.append(parts.toSeq
+        .toDF("stage", "partition_id", "output_rows", "wall_ms").coalesce(1),
+        s"$base/_lineage")
+      io.append(metrics.coalesce(1), s"$base/_metrics")
+    }
   }
+
+  private val obsLock = new Object
 
   def lineage(spark: SparkSession, inputKey: String): DataFrame =
     io.read(spark, s"${baseFor(inputKey)}/_lineage")

@@ -231,15 +231,30 @@ object Clustering {
     val sr = q.filter(col("vec_id") >= 0 && col("vec_id") < kmax)
       .agg(count(lit(1)), count_distinct(col("vec_id"))).head
     val seedsDense = sr.getLong(0) == kmax && sr.getLong(1) == kmax
-    val rows = ks.map { k =>
-      // ONE scoring pass per k: sse rides the silhouette's own-centroid
-      // distances (scoreOnQ), so the sweep runs one centroid aggregation
-      // + one distance pass per k, not two of each
-      val a = lloydOnQ(q, k, iters = 1, seedFrom = 0,
-        seedsChecked = seedsDense).localCheckpoint()
-      val (sse, num, den) = scoreOnQ(q, a)
-      (k.toLong, sse, num, den)
-    }
+    // the per-k chains are INDEPENDENT (each reads only the checkpointed
+    // q), so they run as concurrent driver-submitted jobs (guide §2.6
+    // "overlap independent jobs"): one k's scoring back-fills the cores
+    // another k's assign stage leaves idle during its tail. Results are
+    // per-k deterministic, and the output order is ks order (we map over
+    // ks, not over completion order).
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(ks.length)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val rows = try {
+      val futures = ks.map { k =>
+        scala.concurrent.Future {
+          // ONE scoring pass per k: sse rides the silhouette's
+          // own-centroid distances (scoreOnQ), so each k runs one
+          // centroid aggregation + one distance pass, not two of each
+          val a = lloydOnQ(q, k, iters = 1, seedFrom = 0,
+            seedsChecked = seedsDense).localCheckpoint()
+          val (sse, num, den) = scoreOnQ(q, a)
+          (k.toLong, sse, num, den)
+        }
+      }
+      futures.map(f => scala.concurrent.Await.result(f,
+        scala.concurrent.duration.Duration.Inf))
+    } finally pool.shutdown()
     def sil(r: (Long, Long, Long, Long)): Double =
       if (r._4 == 0L) 0.0 else r._3.toDouble / r._4.toDouble
     val chosenK = rows.maxBy(r => (sil(r), -r._1))._1

@@ -389,7 +389,10 @@ object Dedup {
     * projection — the texts of matched candidates only (VERDICT r05 #1:
     * the previous plan computed split + array_distinct for EVERY corpus
     * document and relied on the join to discard non-candidates, which
-    * Catalyst cannot push below the projection). `newDocs` may be a
+    * Catalyst cannot push below the projection). The pre-filter engages
+    * above the broadcast size gate: a gate-fitting corpus is cheaper to
+    * shingle wholesale than to route through the extra semi-join
+    * shuffle (measured at sf0.1). `newDocs` may be a
     * STREAMING frame — [[rowBuckets]] is aggregation-free and the joins
     * are stream-static, so the probe runs in append mode (StreamingSpec
     * parity); the candidate semi-join is batch-only (a streaming
@@ -425,16 +428,21 @@ object Dedup {
         Seq("band", "bucket"))
       .select(col("new_id"), col("_sgn"), col("corpus_id"))
       .dropDuplicates("new_id", "corpus_id")
-    // batch: materialize the (small, O(matches)) candidate set once — it
-    // feeds BOTH the corpus pre-filter and the verify join, and without
-    // the checkpoint the whole probe derivation would execute twice
-    val cand =
-      if (newDocs.isStreaming) cand0 else cand0.localCheckpoint()
-    // batch: only candidate corpus docs are ever shingled (left_semi on
-    // the candidate ids BEFORE the projection — the candidate set is
-    // O(matches), so the filter side is size-gated broadcastable)
+    // the candidate set feeds BOTH the corpus pre-filter and the verify
+    // join; dropDuplicates plants an Exchange at the shared subtree, so
+    // runtime exchange reuse executes the probe+index derivation ONCE (an
+    // eager localCheckpoint here measured SLOWER: it serializes the
+    // candidate job before the main job instead of sharing the exchange)
+    val cand = cand0
+    // batch + over-the-gate corpus: only candidate corpus docs are ever
+    // shingled (left_semi on the candidate ids BEFORE the projection —
+    // the candidate set is O(matches)). A corpus small enough to
+    // broadcast is cheaper to shingle wholesale than to pre-filter
+    // through an extra shuffle, so the same size gate every other
+    // corpus-scaling join uses decides here too.
     val corpusSrc =
-      if (newDocs.isStreaming) corpusDocs
+      if (newDocs.isStreaming || graft.canonical.Joins.fitsBroadcast(corpusDocs))
+        corpusDocs
       else corpusDocs.join(
         graft.canonical.Joins.dim(
           cand.select(col("corpus_id").as(idCol)).distinct()),

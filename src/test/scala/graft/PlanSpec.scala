@@ -229,14 +229,24 @@ class PlanSpec extends SparkSpec {
     val index = graft.ops.Dedup.minhashBuckets(corpus)
     val incoming = Seq((100L, "alpha beta gamma delta epsilon zeta eta iota"))
       .toDF("doc_id", "text")
-    val probe = graft.ops.Dedup.checkAgainstIndex(incoming, index, corpus)
-    // VERDICT r05 #1 regression gate: the verify side must semi-join the
-    // corpus on the candidate ids BEFORE any shingle projection (the
-    // previous plan shingled EVERY corpus doc per probe batch)
-    val p = probe.queryExecution.optimizedPlan.toString
-    assert(p.contains("LeftSemi"),
-      s"corpus must be candidate-semi-joined before shingling:\n${p.take(1500)}")
-    assert(probe.collect().map(_.getLong(1)).toSet === Set(1L),
-      "probe result unchanged by the pre-filter")
+    // a gate-fitting corpus keeps the wholesale-shingle plan (cheaper
+    // below the gate than the extra semi-join shuffle)
+    val small = graft.ops.Dedup.checkAgainstIndex(incoming, index, corpus)
+    assert(!small.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+    val want = small.collect().map(_.toSeq).toSet
+    // VERDICT r05 #1 regression gate: above the gate the verify side must
+    // semi-join the corpus on the candidate ids BEFORE any shingle
+    // projection (the previous plan shingled EVERY corpus doc per batch)
+    val key = "graft.broadcast.maxBytes"
+    sys.props(key) = "1"
+    try {
+      val probe = graft.ops.Dedup.checkAgainstIndex(incoming, index, corpus)
+      val p = probe.queryExecution.optimizedPlan.toString
+      assert(p.contains("LeftSemi"),
+        s"corpus must be candidate-semi-joined before shingling:\n${p.take(1500)}")
+      assert(probe.collect().map(_.toSeq).toSet === want,
+        "probe result unchanged by the pre-filter")
+      assert(probe.collect().map(_.getLong(1)).toSet === Set(1L))
+    } finally sys.props.remove(key)
   }
 }
