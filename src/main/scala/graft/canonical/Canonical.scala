@@ -66,10 +66,13 @@ object Canonical {
         "(a bounded label vocabulary) — cast numeric group keys first")
     val spark = names.sparkSession
     // the bucketed input is consumed twice (count pass + id pass):
-    // materialize it once so the upstream plan doesn't execute twice
+    // materialize it once so the upstream plan doesn't execute twice.
+    // LAZY checkpoint: the counts collect right below is the first action
+    // and scans every partition, so it materializes the cache in the same
+    // job instead of paying a separate eager-checkpoint job first.
     val withB = names.withColumn("_b",
       substring(md5(col(keyCol)), 1, hexChars))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val counts = withB.groupBy(partCol, "_b").count().collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     val offsets = counts.groupBy(_._1).toSeq.flatMap { case (g, rows) =>
