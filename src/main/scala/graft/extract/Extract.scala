@@ -62,42 +62,20 @@ object Extract {
         attr: Column, parent: Column) =
       struct(lit(kind).as("kind"), subj.as("subj"), pred.as("pred"),
         obj.as("obj"), attr.as("attr"), parent.as("parent"))
+    def g(re: String, i: Int) = regexp_extract(col("seg"), re, i)
     val e = lit("")
 
-    // ONE group-extracting regex execution per matched segment: the
-    // (rlike-validated, fully-anchored) production is rewritten into a
-    // U+0001-joined group list by a single regexp_replace and split once
-    // — the per-group regexp_extract form re-ran the same anchored regex
-    // once per capture group (3-5 executions per segment over a corpus
-    // where the regex IS the extraction cost). Semantics are identical:
-    // Java substitutes "" for a non-participating optional group, exactly
-    // regexp_extract's value for an absent group, and split keeps
-    // trailing empty fields (limit -1); U+0001 cannot occur in the
-    // grammar's charset. Guarded by the same prefix+rlike dispatch, so a
-    // non-matching segment never reaches the replace.
-    def gs(re: String, n: Int): Column =
-      split(regexp_replace(col("seg"), re,
-        (1 to n).map("$" + _).mkString("\u0001")), "\u0001")
+    val expanded = when(isDef, array(
+        m("entity_def", g(defRe, 1), e, e, g(defRe, 2), g(defRe, 3))))
+      .when(isAlias, array(
+        m("alias_binding", g(aliasRe, 1), e, g(aliasRe, 2), e, e)))
+      .when(isLink, array(
+        m("relation", g(linkRe, 1), g(linkRe, 2), g(linkRe, 3), e, e)))
+      .when(isChain, array(
+        m("relation", g(chainRe, 1), g(chainRe, 2), g(chainRe, 3), e, e),
+        m("relation", g(chainRe, 3), g(chainRe, 4), g(chainRe, 5), e, e)))
 
-    val withG = segs.select(
-      col("conv_id"), col("turn_idx"), col("mention_idx"), col("ts"),
-      when(isDef, gs(defRe, 3)).as("_gd"),
-      when(isAlias, gs(aliasRe, 2)).as("_ga"),
-      when(isLink, gs(linkRe, 3)).as("_gl"),
-      when(isChain, gs(chainRe, 5)).as("_gc"))
-    def el(c: String, i: Int) = element_at(col(c), i)
-
-    val expanded = when(col("_gd").isNotNull, array(
-        m("entity_def", el("_gd", 1), e, e, el("_gd", 2), el("_gd", 3))))
-      .when(col("_ga").isNotNull, array(
-        m("alias_binding", el("_ga", 1), e, el("_ga", 2), e, e)))
-      .when(col("_gl").isNotNull, array(
-        m("relation", el("_gl", 1), el("_gl", 2), el("_gl", 3), e, e)))
-      .when(col("_gc").isNotNull, array(
-        m("relation", el("_gc", 1), el("_gc", 2), el("_gc", 3), e, e),
-        m("relation", el("_gc", 3), el("_gc", 4), el("_gc", 5), e, e)))
-
-    withG
+    segs
       // project the expansion ONCE as a bound attribute: Spark shares no
       // subexpressions between Filter and Generate, so filtering on the
       // raw expression and then exploding it would run every regex +
