@@ -55,7 +55,13 @@ object Analytics {
       pr = nodes.join(inflow, Seq("node_id"), "left")
         .select(col("node_id"),
           (lit(150000L) + expr("(85 * coalesce(inflow, 0L)) div 100")).as("pr"))
-        .localCheckpoint()
+        // LAZY: each round's table is consumed exactly once (by the next
+        // round's join, or by the final consumer), so the whole fixpoint
+        // runs as ONE job of chained shuffle stages instead of one
+        // driver-synchronized job per round; the checkpoint mark still
+        // truncates lineage for any re-execution. Plan growth is linear
+        // in iters (5) — far below the planning-time danger zone.
+        .localCheckpoint(false)
     }
     pr
   }
